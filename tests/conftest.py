@@ -1,0 +1,37 @@
+"""Test harness config: force CPU with 8 virtual devices.
+
+Multi-chip sharding tests run on a virtual 8-device CPU mesh; parity tests are
+precision-checked (the compute path uses full-precision accumulation for f32,
+so CPU and TPU agree to ~1e-6). Env vars must be set before jax imports.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+REFERENCE = "/root/reference"
+
+
+def golden_input(hw, seed=0, batch=2):
+    """Must match tools/gen_goldens.py:golden_input (NCHW float32)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((batch, 3, hw[0], hw[1]), dtype=np.float32)
+
+
+@pytest.fixture(scope="session")
+def x2_stem():
+    return f"{REFERENCE}/CSNet/checkpoints/csnet-L-x2/csnet-L-x2"
+
+
+@pytest.fixture(scope="session")
+def x1_stem():
+    return f"{REFERENCE}/CSNet/checkpoints/csnet-L-x1/csnet-L-x1"
