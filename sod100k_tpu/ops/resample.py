@@ -97,7 +97,9 @@ def max_pool(x: jax.Array, factor: int) -> jax.Array:
     """
     if factor == 1:
         return x
-    init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # scalar init values keep lax on the monoid-specialized (differentiable)
+    # reduce_window primitives
+    init = -float("inf") if jnp.issubdtype(x.dtype, jnp.floating) else int(jnp.iinfo(x.dtype).min)
     return lax.reduce_window(
         x, init, lax.max,
         (1, factor, factor, 1), (1, factor, factor, 1), "VALID",
@@ -114,7 +116,7 @@ def avg_pool(x: jax.Array, factor: int = 2) -> jax.Array:
     if factor == 1:
         return x
     s = lax.reduce_window(
-        x, jnp.zeros((), x.dtype), lax.add,
+        x, 0.0, lax.add,
         (1, factor, factor, 1), (1, factor, factor, 1), "VALID",
     )
     return s / jnp.asarray(factor * factor, x.dtype)

@@ -7,15 +7,25 @@ so CPU and TPU agree to ~1e-6). Env vars must be set before jax imports.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+# The axon TPU plugin's sitecustomize force-registers itself and overrides
+# JAX_PLATFORMS; pin the platform again post-import (before any backend init).
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8, (
+    "tests must run on the 8-device virtual CPU mesh"
+)
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 REFERENCE = "/root/reference"
