@@ -1,0 +1,83 @@
+"""ctypes binding for the native SalMetric library.
+
+Mirrors the reference's Cython entry point
+(SalMetric/python/salmetric.pyx: do_evaluation(num_thread, sal_lst, gt_lst))
+on top of our C ABI (sal_metric.cc: salmetric_evaluate). Builds the shared
+library on first use if the toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Sequence
+
+_DIR = os.path.join(os.path.dirname(__file__), "..", "native", "salmetric")
+_LIB = os.path.join(_DIR, "build", "libsalmetric.so")
+_BIN = os.path.join(_DIR, "build", "salmetric")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def build(force: bool = False) -> bool:
+    """Build the native library/CLI via make; returns True on success."""
+    if not force and os.path.exists(_LIB) and os.path.exists(_BIN):
+        return True
+    try:
+        subprocess.run(["make", "-C", _DIR], check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        out = getattr(e, "stderr", b"") or b""
+        raise RuntimeError(f"native salmetric build failed: {out.decode()[-2000:]}")
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        build()
+        _lib = ctypes.CDLL(_LIB)
+        _lib.salmetric_evaluate.restype = ctypes.c_int
+        _lib.salmetric_evaluate.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+    return _lib
+
+
+def cli_path() -> str:
+    """Path to the built `salmetric` CLI (reference-compatible contract)."""
+    build()
+    return _BIN
+
+
+def do_evaluation(num_thread: int, sal_lst: Sequence[str], gt_lst: Sequence[str],
+                  print_stdout: bool = True) -> dict:
+    """Evaluate sal/gt path lists natively; returns the metric dict.
+
+    Signature mirrors the reference binding (salmetric.pyx:20-31); unlike it,
+    the results are also returned structured rather than stdout-only.
+    """
+    assert len(sal_lst) == len(gt_lst) and sal_lst, "empty or mismatched lists"
+    lib = _load()
+    n = len(sal_lst)
+    sal_arr = (ctypes.c_char_p * n)(*[s.encode() for s in sal_lst])
+    gt_arr = (ctypes.c_char_p * n)(*[s.encode() for s in gt_lst])
+    out = (ctypes.c_double * (7 + 512))()
+    rc = lib.salmetric_evaluate(sal_arr, gt_arr, n, int(num_thread),
+                                int(print_stdout), out)
+    if rc < 0:
+        raise RuntimeError("salmetric_evaluate failed")
+    return {
+        "images": rc,
+        "mae": out[0],
+        "max_f": out[1],
+        "mean_f": out[2],
+        "precision_at_max": out[3],
+        "recall_at_max": out[4],
+        "mean_precision": out[5],
+        "mean_recall": out[6],
+        "precision": list(out[7:7 + 256]),
+        "recall": list(out[7 + 256:7 + 512]),
+    }

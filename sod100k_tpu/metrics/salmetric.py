@@ -1,0 +1,145 @@
+"""SalMetric as vectorized on-device reductions.
+
+Reproduces the reference C++ tool's math exactly
+(/root/reference/CSNet_training/SalMetric/src/sal_metric.cpp):
+
+- MAE per image: mean(|sal - gt|) / 255 over raw grayscale values (:86-97),
+- precision/recall at 256 thresholds with strict comparisons
+  (sal > th, gt > 128) and EPSILON = 1e-4 added to both numerator and
+  denominator (:99-120, hpp:51),
+- per-threshold P/R macro-averaged over images (:157-163),
+- F-measure with beta^2 = 0.3 computed from the averaged P/R (:164-175),
+- Max-F over thresholds (strict >, argmax initialized to 0), Mean-F/P/R.
+
+Instead of a 256-pass pixel scan per image, one histogram pass per image
+yields every threshold count: #(sal > th) = total - cumsum(hist)[th]. Images
+are processed in padded batches with validity masks so arbitrary sizes compile
+to a handful of fixed shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+THRESHOLDS = 256
+EPSILON = 1e-4
+BETA2 = 0.3
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _per_image_stats(sal: jax.Array, gt: jax.Array, mask: jax.Array):
+    """Per-image (mae, precision[256], recall[256]).
+
+    sal/gt: (B, H, W) float32 grayscale in [0, 255] (integral values, as read
+    from 8-bit PNGs); mask: (B, H, W) float32 validity (padding = 0).
+    """
+    sal = sal.astype(jnp.float32)
+    gt = gt.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
+    npix = jnp.sum(mask, axis=(1, 2))
+
+    mae = jnp.sum(jnp.abs(sal - gt) / 255.0 * mask, axis=(1, 2)) / npix
+
+    pos = (gt > THRESHOLDS / 2).astype(jnp.float32) * mask  # gt > 128
+    b_sum = jnp.sum(pos, axis=(1, 2))
+
+    # histogram of integral saliency values, total and foreground-restricted
+    idx = jnp.clip(sal, 0, 255).astype(jnp.int32)
+    bhist = jnp.zeros((sal.shape[0], THRESHOLDS), jnp.float32)
+    flat_idx = idx.reshape(idx.shape[0], -1)
+    hist = bhist.at[
+        jnp.arange(idx.shape[0])[:, None], flat_idx
+    ].add(mask.reshape(mask.shape[0], -1))
+    hist_fg = bhist.at[
+        jnp.arange(idx.shape[0])[:, None], flat_idx
+    ].add(pos.reshape(pos.shape[0], -1))
+
+    total = jnp.sum(hist, axis=1, keepdims=True)
+    # a_sum[th] = #(sal > th) = total - cumsum(hist)[th]  (strict >)
+    a_sum = total - jnp.cumsum(hist, axis=1)
+    ab = jnp.sum(hist_fg, axis=1, keepdims=True) - jnp.cumsum(hist_fg, axis=1)
+
+    precision = (ab + EPSILON) / (a_sum + EPSILON)
+    recall = (ab + EPSILON) / (b_sum[:, None] + EPSILON)
+    return mae, precision, recall
+
+
+class SalMetricAccumulator:
+    """Streaming macro-average accumulator over an image set."""
+
+    def __init__(self) -> None:
+        self.n = 0
+        self.mae = 0.0
+        self.precision = np.zeros(THRESHOLDS, np.float64)
+        self.recall = np.zeros(THRESHOLDS, np.float64)
+
+    def update_batch(self, sal: np.ndarray, gt: np.ndarray,
+                     mask: np.ndarray | None = None, count: int | None = None):
+        """sal/gt: (B, H, W) in [0,255]; mask marks valid pixels; count marks
+        valid images (trailing padded images ignored)."""
+        if mask is None:
+            mask = np.ones(sal.shape, np.float32)
+        mae, pre, rec = _per_image_stats(
+            jnp.asarray(sal), jnp.asarray(gt), jnp.asarray(mask)
+        )
+        k = sal.shape[0] if count is None else count
+        self.n += k
+        self.mae += float(jnp.sum(mae[:k]))
+        self.precision += np.asarray(jnp.sum(pre[:k], axis=0), np.float64)
+        self.recall += np.asarray(jnp.sum(rec[:k], axis=0), np.float64)
+
+    def result(self) -> dict:
+        assert self.n > 0, "no images accumulated"
+        p = self.precision / self.n
+        r = self.recall / self.n
+        f = ((1 + BETA2) * p * r) / (BETA2 * p + r)
+        # strict > with fmax initialized to 0 (sal_metric.cpp:151-172)
+        argmax = 0
+        fmax = 0.0
+        for th in range(THRESHOLDS):
+            if f[th] > fmax:
+                fmax = float(f[th])
+                argmax = th
+        return {
+            "mae": self.mae / self.n,
+            "precision": p,
+            "recall": r,
+            "fmeasure": f,
+            "max_f": fmax,
+            "mean_f": float(f.mean()),
+            "argmax": argmax,
+            "precision_at_max": float(p[argmax]),
+            "recall_at_max": float(r[argmax]),
+            "mean_precision": float(p.mean()),
+            "mean_recall": float(r.mean()),
+        }
+
+
+def _g(v: float) -> str:
+    """C++ `cout << float` default formatting: 6 significant digits."""
+    return f"{v:g}"
+
+
+def format_report(res: dict) -> str:
+    """Reproduce the reference CLI stdout contract (sal_metric.cpp:164-185):
+    256 threshold lines then exactly seven summary lines (eval.py:68-70 parses
+    the last 8 newline-split fields)."""
+    lines = []
+    for th in range(THRESHOLDS):
+        lines.append(
+            f"Threshold {th}:\tMAE: {_g(res['mae'])}\tPrecision: "
+            f"{_g(res['precision'][th])}\tRecall: {_g(res['recall'][th])}"
+            f"\tFmeasure: {_g(res['fmeasure'][th])}"
+        )
+    lines.append(f"Max_F-measre:   {_g(res['max_f'])}")
+    lines.append(f"Mean_F-measre:  {_g(res['mean_f'])}")
+    lines.append(f"Precision:      {_g(res['precision_at_max'])}")
+    lines.append(f"Recall:         {_g(res['recall_at_max'])}")
+    lines.append(f"Mean_Precision: {_g(res['mean_precision'])}")
+    lines.append(f"Mean_Recall:    {_g(res['mean_recall'])}")
+    lines.append(f"MAE:            {_g(res['mae'])}")
+    return "\n".join(lines) + "\n"

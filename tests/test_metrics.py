@@ -1,0 +1,170 @@
+"""Metric-suite parity: JAX salmetric and native C++ salmetric vs a literal
+brute-force oracle of the reference formulas (sal_metric.cpp:86-185)."""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from sod100k_tpu.metrics.salmetric import (
+    BETA2,
+    EPSILON,
+    SalMetricAccumulator,
+    format_report,
+)
+
+RNG = np.random.default_rng(3)
+
+
+def _brute_force(sals, gts):
+    """Direct transcription of the reference math: per-image MAE and 256-pass
+    threshold P/R, macro-averaged; F from averaged P/R."""
+    n = len(sals)
+    mae = 0.0
+    precision = np.zeros(256)
+    recall = np.zeros(256)
+    for sal, gt in zip(sals, gts):
+        sal = sal.astype(np.float64)
+        gt = gt.astype(np.float64)
+        mae += np.mean(np.abs(sal - gt) / 255.0) / n
+        b = gt > 128
+        b_sum = b.sum()
+        for th in range(256):
+            a = sal > th
+            ab = (a & b).sum()
+            precision[th] += ((ab + EPSILON) / (a.sum() + EPSILON)) / n
+            recall[th] += ((ab + EPSILON) / (b_sum + EPSILON)) / n
+    f = (1 + BETA2) * precision * recall / (BETA2 * precision + recall)
+    fmax, argmax = 0.0, 0
+    for th in range(256):
+        if f[th] > fmax:
+            fmax, argmax = f[th], th
+    return {
+        "mae": mae, "precision": precision, "recall": recall, "fmeasure": f,
+        "max_f": fmax, "argmax": argmax, "mean_f": f.mean(),
+        "precision_at_max": precision[argmax], "recall_at_max": recall[argmax],
+        "mean_precision": precision.mean(), "mean_recall": recall.mean(),
+    }
+
+
+def _synthetic(n=6, hw=(33, 41)):
+    sals, gts = [], []
+    for i in range(n):
+        sals.append(RNG.integers(0, 256, size=hw, dtype=np.uint8))
+        # blobby GT: threshold smooth noise for realistic fg/bg areas
+        g = RNG.random(hw)
+        gts.append(np.where(g > 0.6, 255, 0).astype(np.uint8))
+    # degenerate cases: empty GT / full GT
+    gts[0][:] = 0
+    gts[1][:] = 255
+    return sals, gts
+
+
+def test_jax_salmetric_matches_brute_force():
+    sals, gts = _synthetic()
+    want = _brute_force(sals, gts)
+    acc = SalMetricAccumulator()
+    for s, g in zip(sals, gts):
+        acc.update_batch(s[None].astype(np.float32), g[None].astype(np.float32))
+    got = acc.result()
+    assert got["mae"] == pytest.approx(want["mae"], rel=1e-6)
+    np.testing.assert_allclose(got["precision"], want["precision"], rtol=1e-5)
+    np.testing.assert_allclose(got["recall"], want["recall"], rtol=1e-5)
+    assert got["max_f"] == pytest.approx(want["max_f"], rel=1e-5)
+    assert got["argmax"] == want["argmax"]
+    assert got["mean_f"] == pytest.approx(want["mean_f"], rel=1e-5)
+
+
+def test_jax_salmetric_padded_batches_match_per_image():
+    sals, gts = _synthetic(n=4, hw=(17, 19))
+    a = SalMetricAccumulator()
+    for s, g in zip(sals, gts):
+        a.update_batch(s[None].astype(np.float32), g[None].astype(np.float32))
+    # same data as one padded batch with masks
+    H, W = 24, 24
+    sal_p = np.zeros((4, H, W), np.float32)
+    gt_p = np.zeros((4, H, W), np.float32)
+    m = np.zeros((4, H, W), np.float32)
+    for i, (s, g) in enumerate(zip(sals, gts)):
+        sal_p[i, :17, :19] = s
+        gt_p[i, :17, :19] = g
+        m[i, :17, :19] = 1
+    b = SalMetricAccumulator()
+    b.update_batch(sal_p, gt_p, mask=m)
+    ra, rb = a.result(), b.result()
+    assert ra["mae"] == pytest.approx(rb["mae"], rel=1e-6)
+    np.testing.assert_allclose(ra["precision"], rb["precision"], rtol=1e-6)
+    np.testing.assert_allclose(ra["fmeasure"], rb["fmeasure"], rtol=1e-6)
+
+
+def test_report_format_contract():
+    sals, gts = _synthetic(n=2)
+    acc = SalMetricAccumulator()
+    for s, g in zip(sals, gts):
+        acc.update_batch(s[None].astype(np.float32), g[None].astype(np.float32))
+    rep = format_report(acc.result())
+    lines = rep.split("\n")
+    # eval.py:68-70 contract: last 8 newline-split fields = 7 summaries + ''
+    assert len(lines) == 256 + 7 + 1
+    tail = lines[-8:]
+    assert tail[0].startswith("Max_F-measre:")
+    assert tail[6].startswith("MAE:")
+    assert tail[7] == ""
+    float(tail[0].split()[1])  # eval.py reads token 1 of the MaxF line
+
+
+@pytest.mark.skipif(shutil.which("make") is None, reason="no make")
+def test_native_salmetric_matches_brute_force(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from sod100k_tpu.metrics import native
+
+    try:
+        native.build()
+    except RuntimeError as e:
+        pytest.skip(f"native build unavailable: {e}")
+    sals, gts = _synthetic(n=5, hw=(21, 27))
+    sal_paths, gt_paths, listing = [], [], []
+    for i, (s, g) in enumerate(zip(sals, gts)):
+        sp, gp = str(tmp_path / f"{i}_sal.png"), str(tmp_path / f"{i}_gt.png")
+        cv2.imwrite(sp, s)
+        cv2.imwrite(gp, g)
+        sal_paths.append(sp)
+        gt_paths.append(gp)
+        listing.append(f"{sp} {gp}")
+    want = _brute_force(sals, gts)
+
+    got = native.do_evaluation(4, sal_paths, gt_paths, print_stdout=False)
+    assert got["images"] == 5
+    assert got["mae"] == pytest.approx(want["mae"], rel=1e-5)
+    assert got["max_f"] == pytest.approx(want["max_f"], rel=1e-5)
+    np.testing.assert_allclose(got["precision"], want["precision"], rtol=1e-5)
+
+    # CLI stdout contract (what reference eval.py parses)
+    lst = tmp_path / "pairs.lst"
+    lst.write_text("\n".join(listing) + "\n")
+    out = subprocess.run([native.cli_path(), str(lst), "2"],
+                         capture_output=True, text=True, check=True).stdout
+    tail = out.split("\n")[-8:]
+    assert tail[0].split()[0] == "Max_F-measre:"
+    assert float(tail[0].split()[1]) == pytest.approx(want["max_f"], abs=1e-5)
+    assert float(tail[6].split()[1]) == pytest.approx(want["mae"], abs=1e-5)
+
+
+def test_s_measure_sanity():
+    from sod100k_tpu.metrics.smeasure import s_measure
+
+    gt = np.zeros((32, 32), np.float32)
+    gt[8:24, 8:24] = 1.0
+    # perfect prediction -> high S; inverted -> low S
+    hi = float(s_measure(gt, gt))
+    lo = float(s_measure(1.0 - gt, gt))
+    mid = float(s_measure(np.full_like(gt, 0.5), gt))
+    assert hi > 0.95
+    assert lo < 0.35
+    assert lo < mid < hi
+    # degenerate GTs follow the reference special cases
+    empty = np.zeros_like(gt)
+    assert float(s_measure(np.zeros_like(gt), empty)) == pytest.approx(1.0)
+    assert float(s_measure(np.ones_like(gt), empty)) == pytest.approx(0.0)
