@@ -1,0 +1,226 @@
+"""Host-side data pipeline: decode/augment/resize/normalize + device prefetch.
+
+Reproduces the reference's two preprocessing dialects:
+
+- CSNet (utils/prepare_data.py:91-139): skimage float image in [0,1],
+  grayscale->3-channel promotion, joint random crop (<=15px per edge) +
+  lr/ud flip at p=0.5, bilinear resize (half-pixel, no anti-aliasing — cv2's
+  INTER_LINEAR matches skimage's reflect/anti_aliasing=False for order-1),
+  ImageNet mean/std normalization. Train GTs are resized; val GTs keep native
+  resolution plus (h, w).
+- test.py:71-86: fixed HxW resize, or round-up-to-16-multiple when H=W=0.
+
+Outputs are NHWC float32 (TPU layout). An iterator wrapper overlaps host work
+with device compute via a background thread + jax.device_put double buffering;
+under a mesh it places shards directly (one host here, so a straight
+device_put with a batch sharding).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import queue
+import threading
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+def _imread_rgb(path: str) -> np.ndarray:
+    """Read image as float64 RGB in [0,1] (skimage img_as_float semantics)."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise FileNotFoundError(path)
+    if img.ndim == 2:
+        img = img[:, :, None].repeat(3, axis=2)  # prepare_data.py:118-120
+    elif img.shape[2] == 4:
+        img = img[:, :, :3]
+    img = img[:, :, ::-1]  # BGR -> RGB
+    return img.astype(np.float64) / 255.0
+
+
+def _imread_gray(path: str) -> np.ndarray:
+    import cv2
+
+    g = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    if g is None:
+        raise FileNotFoundError(path)
+    return g.astype(np.float64) / 255.0
+
+
+def resize_bilinear_np(img: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
+    """Half-pixel bilinear resize without anti-aliasing (skimage
+    mode='reflect', anti_aliasing=False equivalent for order-1)."""
+    import cv2
+
+    out = cv2.resize(img.astype(np.float32), (hw[1], hw[0]),
+                     interpolation=cv2.INTER_LINEAR)
+    return out
+
+
+def fold_files(folder: str) -> tuple[str, list[str]]:
+    """All stems in a folder sharing one extension (prepare_data.py:13-23)."""
+    names = sorted(os.listdir(folder))
+    if not names:
+        raise ValueError(f"empty data folder {folder}")
+    ext = names[0].rsplit(".", 1)[-1]
+    return ext, [n[: -(len(ext) + 1)] for n in names]
+
+
+class Augment:
+    """Joint crop+flip augmentation (prepare_data.py:26-88): random crop of
+    up to size_h/size_w pixels per edge (at least 1 from bottom/right), then
+    lr or ud flip with p_flip probability (lr/ud chosen 50/50)."""
+
+    def __init__(self, size_h: int = 15, size_w: int = 15,
+                 p_flip: float = 0.5, seed: int = 0):
+        self.size_h, self.size_w, self.p_flip = size_h, size_w, p_flip
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, img: np.ndarray, target: np.ndarray):
+        r1 = int(self.rng.integers(self.size_h))
+        r2 = -int(self.rng.integers(self.size_h)) - 1
+        c1 = int(self.rng.integers(self.size_w))
+        c2 = -int(self.rng.integers(self.size_w)) - 1
+        flip = None
+        if self.rng.random() < self.p_flip:
+            flip = "lr" if self.rng.random() < 0.5 else "ud"
+
+        def tf(a):
+            a = a[r1:r2, c1:c2]
+            if flip == "lr":
+                a = a[:, ::-1]
+            elif flip == "ud":
+                a = a[::-1]
+            return a
+
+        return tf(img), tf(target)
+
+
+class SalData:
+    """images/*.jpg + GT/*.png dataset (prepare_data.py:91-139)."""
+
+    def __init__(self, data_dir: str, size: tuple[int, int],
+                 augmentation: bool = True, mode: str = "train", seed: int = 0):
+        img_dir = os.path.join(data_dir, "images")
+        if not os.path.isdir(img_dir):
+            raise ValueError(
+                "Please put your images in folder 'images' and GT in 'GT'")
+        self.data_dir = data_dir
+        self.img_ext, self.stems = fold_files(img_dir)
+        self.size = size
+        self.mode = mode
+        self.aug = Augment(seed=seed) if (augmentation and mode == "train") else None
+
+    def __len__(self) -> int:
+        return len(self.stems)
+
+    def __getitem__(self, idx: int) -> dict:
+        stem = self.stems[idx]
+        img = _imread_rgb(os.path.join(self.data_dir, "images",
+                                       f"{stem}.{self.img_ext}"))
+        gt = _imread_gray(os.path.join(self.data_dir, "GT", f"{stem}.png"))
+        h, w = gt.shape
+        if self.aug is not None:
+            img, gt = self.aug(img, gt)
+        img = resize_bilinear_np(img, self.size)
+        if self.mode == "train":
+            gt = resize_bilinear_np(gt, self.size)
+        img = (img - IMAGENET_MEAN) / IMAGENET_STD
+        sample = {"image": img.astype(np.float32),
+                  "target": gt.astype(np.float32)[..., None]}
+        if self.mode != "train":
+            sample["h"], sample["w"] = h, w
+        return sample
+
+
+def preprocess_test_image(path: str, hw: tuple[int, int] = (0, 0)):
+    """test.py:71-86 protocol: fixed HxW resize, or ceil-to-16-multiple.
+
+    Returns (image NHWC float32 with batch dim, (orig_h, orig_w))."""
+    img = _imread_rgb(path)
+    h, w = img.shape[:2]
+    if hw[0] != 0 and hw[1] != 0:
+        img = resize_bilinear_np(img, hw)
+    elif h % 16 != 0 or w % 16 != 0:
+        img = resize_bilinear_np(
+            img, (math.ceil(h / 16) * 16, math.ceil(w / 16) * 16))
+    else:
+        img = img.astype(np.float32)
+    img = (img - IMAGENET_MEAN) / IMAGENET_STD
+    return img.astype(np.float32)[None], (h, w)
+
+
+def batches(
+    dataset: SalData,
+    batch_size: int,
+    *,
+    shuffle: bool = True,
+    drop_last: bool = True,
+    seed: int = 0,
+    num_threads: int = 4,
+) -> Iterator[dict]:
+    """Epoch iterator of stacked numpy batches with threaded decode."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    n_full = len(order) // batch_size
+    ends = n_full * batch_size
+    if not drop_last and ends < len(order):
+        n_full += 1
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=num_threads) as pool:
+        for b in range(n_full):
+            idxs = order[b * batch_size:(b + 1) * batch_size]
+            samples = list(pool.map(dataset.__getitem__, idxs))
+            batch = {
+                "image": np.stack([s["image"] for s in samples]),
+                "target": np.stack([s["target"] for s in samples]),
+            }
+            if "h" in samples[0]:
+                batch["h"] = [s["h"] for s in samples]
+                batch["w"] = [s["w"] for s in samples]
+            yield batch
+
+
+def device_prefetch(it: Iterator[dict], *, mesh=None, depth: int = 2) -> Iterator[dict]:
+    """Overlap host batch production with device compute: a background thread
+    stages device_put batches (sharded along the data axis when a mesh is
+    given) into a small queue."""
+    import jax
+
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding
+
+        sharding = batch_sharding(mesh)
+    else:
+        sharding = jax.devices()[0]
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = object()
+
+    def producer():
+        try:
+            for batch in it:
+                arrays = {k: jax.device_put(v, sharding)
+                          for k, v in batch.items() if isinstance(v, np.ndarray)}
+                rest = {k: v for k, v in batch.items() if not isinstance(v, np.ndarray)}
+                q.put({**arrays, **rest})
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            break
+        yield item
