@@ -1,0 +1,123 @@
+"""Shared CLI plumbing: logging tee, checkpoint IO, model building from cfg.
+
+Checkpoints are written in the reference's torch format
+({'epoch','arch','state_dict','optimizer'}, train.py:174-181) so reference
+tooling can read ours; our optax state rides along as numpy pytrees under
+'optimizer'. Architecture snapshots are the same pickled layer_config .bin
+files (csnet.py:541-568).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sod100k_tpu.arch.csnet import count_params, csnet_init
+from sod100k_tpu.arch.layer_config import LayerConfig, init_layers
+from sod100k_tpu.interop.torch_ckpt import (
+    load_checkpoint,
+    pytree_to_state_dict,
+    state_dict_to_pytree,
+)
+
+
+class Logger:
+    """Tee to stdout + a timestamped log file (reference log_string pattern)."""
+
+    def __init__(self, log_dir: str, prefix: str, task: str):
+        os.makedirs(log_dir, exist_ok=True)
+        stamp = time.strftime("%Y_%m_%d-%H_%M_%S")
+        self.path = os.path.join(log_dir, f"{prefix}_{task}_{stamp}.txt")
+        self._f = open(self.path, "w")
+
+    def __call__(self, msg, display: bool = True) -> None:
+        self._f.write(str(msg) + "\n")
+        self._f.flush()
+        if display:
+            print(msg)
+
+
+def resolve_dirs(cfg) -> dict:
+    task = cfg.TASK or cfg.MODEL.ARCH
+    base = os.path.join(cfg.DATA.SAVEDIR, task)
+    dirs = {
+        "task": task,
+        "base": base,
+        "checkpoint": os.path.join(base, "checkpoint"),
+        "layer_configs": os.path.join(base, "layer_configs"),
+    }
+    for k in ("base", "checkpoint", "layer_configs"):
+        os.makedirs(dirs[k], exist_ok=True)
+    return dirs
+
+
+def build_model_from_cfg(cfg, dirs: dict, log=print):
+    """Reference build_model flow (csnet.py:882-947): predefined pickled arch
+    or a fresh init_layers seed with basewidth 20 * AUTO.EXPAND; saves
+    layer_config_0.bin (+ _latest) and the epoch-0 init snapshot."""
+    if cfg.AUTO.PREDEFINE and os.path.isfile(cfg.AUTO.PREDEFINE):
+        log("predefine.")
+        lc = LayerConfig.load(cfg.AUTO.PREDEFINE)
+    else:
+        log("init.")
+        basewidth = int(round(20 * max(cfg.AUTO.EXPAND, 1.0)))
+        if cfg.AUTO.EXPAND > 1:
+            log(f"Expand the basewidth from 20 to {basewidth}")
+        lc = init_layers(basewidth, cfg.MODEL.BASIC_SPLIT)
+    lc.save(os.path.join(dirs["layer_configs"], "layer_config_0.bin"))
+    lc.save(os.path.join(dirs["layer_configs"], "layer_config_latest.bin"))
+
+    params = csnet_init(jax.random.key(cfg.TPU.SEED), lc)
+    save_torch_checkpoint(
+        os.path.join(dirs["checkpoint"], "checkpoint_init.pth.tar"),
+        params, epoch=-1, arch="CSNet",
+    )
+    log("  + Number of params: %.4fM" % (count_params(params) / 1e6))
+    return lc, params
+
+
+def save_torch_checkpoint(path: str, params, epoch: int, arch: str,
+                          opt_state=None) -> None:
+    import torch
+
+    sd = {k: torch.from_numpy(np.array(v)) for k, v in
+          pytree_to_state_dict(jax.tree.map(np.asarray, params)).items()}
+    payload = {"epoch": epoch, "arch": arch, "state_dict": sd}
+    if opt_state is not None:
+        payload["optimizer"] = jax.tree.map(np.asarray, opt_state)
+    torch.save(payload, path)
+
+
+def load_any_checkpoint(path: str):
+    """Returns (params pytree, epoch, optax opt_state or None)."""
+    params, meta = load_checkpoint(path)
+    return params, meta.get("epoch", 0), meta.get("optimizer")
+
+
+def val_mae(eval_step, params, dataset, batch_size: int, log=print,
+            print_freq: int = 20) -> float:
+    """Reference val protocol (train.py:250-293): forward at train size,
+    per-image bilinear resize back to native GT resolution, quantize via
+    trunc(x*255)/255, L1 against the native-resolution GT."""
+    import cv2
+
+    from sod100k_tpu.data.pipeline import batches
+
+    total, count = 0.0, 0
+    for batch in batches(dataset, batch_size, shuffle=False, drop_last=False):
+        pred = np.asarray(eval_step(params, jnp.asarray(batch["image"])))[..., 0]
+        for i in range(pred.shape[0]):
+            h, w = batch["h"][i], batch["w"][i]
+            up = cv2.resize(pred[i], (w, h), interpolation=cv2.INTER_LINEAR)
+            q = np.trunc(up * 255.0) / 255.0
+            gt = batch["target"][i][..., 0]  # native-resolution GT (ragged)
+            total += float(np.abs(q - gt).mean())
+            count += 1
+    mae = total / max(count, 1)
+    return mae

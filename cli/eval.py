@@ -1,0 +1,154 @@
+"""Saliency evaluation driver (counterpart of the reference eval.py).
+
+Usage: python -m cli.eval --config <yml> [--method task] [--range b,e]
+                          [--backend device|native]
+
+For each dataset and epoch: pair saliency PNGs (DATA.SAVEDIR/task/{ds}_{e})
+with GTs (TEST.DATASET_PATH/{ds}/GT), evaluate MAE / 256-threshold P/R /
+F-beta (+ S-measure on the device backend), log per-epoch reports, and track
+the best epoch by Max-F (eval.py:34-76 semantics).
+
+Backends:
+- "device": on-device histogram reductions (sod100k_tpu.metrics.salmetric),
+  batched by padded shape buckets; also reports S-measure.
+- "native": the C++ CLI clone via ctypes (same math, no accelerator needed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from collections import defaultdict
+
+import numpy as np
+
+from sod100k_tpu.config import get_cfg
+from sod100k_tpu.metrics.salmetric import SalMetricAccumulator, format_report
+
+
+def _pairs(sal_dir: str, gt_dir: str) -> list[tuple[str, str]]:
+    out = []
+    for name in sorted(os.listdir(sal_dir)):
+        if not name.endswith(".png"):
+            continue
+        gt = os.path.join(gt_dir, name)
+        if os.path.exists(gt):
+            out.append((os.path.join(sal_dir, name), gt))
+    return out
+
+
+def _bucket_hw(h: int, w: int, step: int = 64) -> tuple[int, int]:
+    return (-(-h // step) * step, -(-w // step) * step)
+
+
+def evaluate_pairs_device(pairs, batch: int = 32, with_smeasure: bool = True) -> dict:
+    """Shape-bucketed padded batches through the on-device accumulator."""
+    import cv2
+
+    acc = SalMetricAccumulator()
+    s_sum, s_n = 0.0, 0
+    buckets: dict[tuple[int, int], list] = defaultdict(list)
+    for sp, gp in pairs:
+        sal = cv2.imread(sp, cv2.IMREAD_GRAYSCALE)
+        gt = cv2.imread(gp, cv2.IMREAD_GRAYSCALE)
+        assert sal is not None and gt is not None, (sp, gp)
+        assert sal.shape == gt.shape, f"size mismatch: {sp}"
+        buckets[_bucket_hw(*sal.shape)].append((sal, gt))
+
+    from sod100k_tpu.metrics.smeasure import s_measure_batch
+
+    for (bh, bw), items in buckets.items():
+        for i in range(0, len(items), batch):
+            chunk = items[i:i + batch]
+            n = len(chunk)
+            sal_p = np.zeros((n, bh, bw), np.float32)
+            gt_p = np.zeros((n, bh, bw), np.float32)
+            m = np.zeros((n, bh, bw), np.float32)
+            for j, (s, g) in enumerate(chunk):
+                h, w = s.shape
+                sal_p[j, :h, :w] = s
+                gt_p[j, :h, :w] = g
+                m[j, :h, :w] = 1
+            acc.update_batch(sal_p, gt_p, mask=m)
+            if with_smeasure:
+                sm = np.asarray(s_measure_batch(sal_p / 255.0,
+                                                (gt_p > 128).astype(np.float32)))
+                s_sum += float(sm.sum())
+                s_n += n
+    res = acc.result()
+    if with_smeasure and s_n:
+        res["s_measure"] = s_sum / s_n
+    return res
+
+
+def evaluate_pairs_native(pairs, num_threads: int = 8) -> dict:
+    from sod100k_tpu.metrics.native import do_evaluation
+
+    sal = [p[0] for p in pairs]
+    gt = [p[1] for p in pairs]
+    return do_evaluation(num_threads, sal, gt, print_stdout=False)
+
+
+def run_eval(cfg, epoch_range=(0, 1), method: str | None = None,
+             backend: str | None = None, datasets=None, log=print) -> dict:
+    method = method or cfg.TASK or cfg.MODEL.ARCH
+    backend = backend or cfg.TPU.EVAL_BACKEND
+    datasets = datasets or cfg.TEST.DATASETS
+    out_dir = os.path.join(cfg.DATA.SAVEDIR, method)
+    os.makedirs(out_dir, exist_ok=True)
+    best = {}
+    for ds in datasets:
+        best_f, best_epoch = 0.0, -1
+        flog_path = os.path.join(out_dir, f"FmeasureResults_{ds}.txt")
+        with open(flog_path, "a") as flog:
+            for epoch in range(*epoch_range):
+                sal_dir = os.path.join(out_dir, f"{ds}_{epoch}")
+                gt_dir = os.path.join(cfg.TEST.DATASET_PATH, ds, "GT")
+                if not os.path.isdir(sal_dir):
+                    continue
+                pairs = _pairs(sal_dir, gt_dir)
+                if not pairs:
+                    continue
+                res = (evaluate_pairs_native(pairs) if backend == "native"
+                       else evaluate_pairs_device(pairs))
+                report = (f"epoch {epoch} {ds}: MaxF {res['max_f']:.6f} "
+                          f"MAE {res['mae']:.6f} MeanF {res['mean_f']:.6f}")
+                if "s_measure" in res:
+                    report += f" S {res['s_measure']:.6f}"
+                log(report)
+                flog.write(report + "\n")
+                if "precision" in res and "fmeasure" not in res:
+                    pass
+                with open(os.path.join(out_dir,
+                                       f"FmeasureResult_{ds}_{epoch}.txt"),
+                          "w") as f:
+                    if "fmeasure" in res:
+                        f.write(format_report(res))
+                    else:
+                        f.write(report + "\n")
+                if res["max_f"] > best_f:
+                    best_f, best_epoch = res["max_f"], epoch
+        best[ds] = {"max_f": best_f, "epoch": best_epoch}
+        log(f"best for {ds}: MaxF {best_f:.6f} @ epoch {best_epoch}")
+    return best
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="TPU SOD evaluation")
+    parser.add_argument("--config", required=True, metavar="FILE")
+    parser.add_argument("--method", default=None)
+    parser.add_argument("--range", default="0,1",
+                        help="epoch range begin,end (python range semantics)")
+    parser.add_argument("--backend", default=None,
+                        choices=["device", "native", None])
+    args = parser.parse_args()
+    cfg = get_cfg()
+    cfg.merge_from_file(args.config)
+    if not cfg.TASK:
+        cfg.TASK = cfg.MODEL.ARCH
+    b, e = (int(v) for v in args.range.split(","))
+    run_eval(cfg, epoch_range=(b, e), method=args.method, backend=args.backend)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Prune-and-finetune driver (counterpart of the reference finetune.py).
+
+Usage: python -m cli.finetune --config <yml> --epoch N [--epochs M]
+
+Flow (finetune.py:85-207): rebuild the epoch-0 architecture from
+layer_configs/layer_config_0.bin, load checkpoint_epoch{N}, prune BN-gamma
+channels below FINETUNE.THRES into a slim layer_config
+(saved as layer_config_finetune_{N}.bin), then retrain with plain
+Adam/SGD + step or cosine LR on BCE only (no FLOPs penalty), checkpointing
+under finetune_checkpoint_epoch{N}/.
+
+Deliberate fix vs the reference: the optimizer is created *after* pruning
+(the reference builds it against the pre-prune parameters, finetune.py:112-123
+vs :165-173, so the rebuilt model's tensors were never registered with it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sod100k_tpu.arch.csnet import count_params
+from sod100k_tpu.arch.layer_config import LayerConfig
+from sod100k_tpu.config import get_cfg
+from sod100k_tpu.data.pipeline import SalData, batches, device_prefetch
+from sod100k_tpu.parallel.mesh import make_mesh, replicate
+from sod100k_tpu.prune.finetune import prune
+from sod100k_tpu.train.optim import cosine_lr, make_adam, make_sgd, multistep_lr
+from sod100k_tpu.train.params import merge, partition
+from sod100k_tpu.train.step import make_eval_step, make_train_step
+
+from .common import (
+    Logger,
+    load_any_checkpoint,
+    resolve_dirs,
+    save_torch_checkpoint,
+    val_mae,
+)
+
+
+def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
+                 log=None) -> dict:
+    dirs = resolve_dirs(cfg)
+    log = log or Logger(dirs["base"], "logfinetune", dirs["task"])
+
+    lc0 = LayerConfig.load(
+        os.path.join(dirs["layer_configs"], "layer_config_0.bin"))
+    ck = os.path.join(dirs["checkpoint"],
+                      f"checkpoint_epoch{from_epoch}.pth.tar")
+    if not os.path.isfile(ck):
+        raise SystemExit(f"=> no checkpoint found at '{ck}'")
+    params, _, _ = load_any_checkpoint(ck)
+    log(f"=> loaded checkpoint '{ck}' (epoch {from_epoch})")
+    log("  + Number of params before: %.4fM" % (count_params(params) / 1e6))
+
+    log("Finetune to slim model.")
+    params, lc, _masks = prune(params, lc0, cfg.FINETUNE.THRES)
+    lc.save(os.path.join(dirs["layer_configs"],
+                         f"layer_config_finetune_{from_epoch}.bin"))
+    log("  + Number of params after: %.4fM" % (count_params(params) / 1e6))
+
+    trainable, state = partition(jax.tree.map(jnp.asarray, params))
+    sol = cfg.FINETUNE.SOLVER
+    if sol.METHOD == "SGD":
+        tx = make_sgd(momentum=sol.MOMENTUM, weight_decay=sol.WEIGHT_DECAY)
+    else:
+        tx = make_adam(weight_decay=sol.WEIGHT_DECAY)
+    opt_state = tx.init(trainable)
+
+    step = make_train_step(lc, tx, flops_weight=0.0,
+                           batch_size=cfg.DATA.BATCH_SIZE)
+    eval_step = make_eval_step(lc)
+
+    mesh = make_mesh(min(cfg.TPU.MESH_DEVICES or len(jax.devices()),
+                         len(jax.devices())))
+    trainable = replicate(trainable, mesh)
+    state = replicate(state, mesh)
+    opt_state = replicate(opt_state, mesh)
+
+    ft_dir = os.path.join(dirs["base"], f"finetune_checkpoint_epoch{from_epoch}")
+    os.makedirs(ft_dir, exist_ok=True)
+    train_ds = SalData(cfg.DATA.DIR, (cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W),
+                       mode="train", seed=cfg.TPU.SEED)
+    val_ds = SalData(cfg.VAL.DIR, (cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W),
+                     mode="val") if cfg.VAL.DIR else None
+
+    best_mae, best_epoch = float("inf"), -1
+    epochs = max_epochs if max_epochs is not None else sol.MAX_EPOCHS
+    for epoch in range(epochs):
+        if sol.ADJUST_STEP and sol.LR_SCHEDULER == "cosine":
+            lr = cosine_lr(sol.LR, epoch, sol.MAX_EPOCHS)
+        elif sol.ADJUST_STEP:
+            lr = multistep_lr(sol.LR, sol.STEPS, epoch)
+        else:
+            lr = sol.LR
+        log(f"lr: {lr}")
+        it = batches(train_ds, cfg.DATA.BATCH_SIZE, shuffle=True,
+                     seed=cfg.TPU.SEED + epoch, num_threads=cfg.DATA.WORKERS)
+        nb = 0
+        for batch in device_prefetch(it, mesh=mesh):
+            trainable, state, opt_state, m = step(
+                trainable, state, opt_state,
+                {"image": batch["image"], "target": batch["target"]},
+                jnp.float32(lr), jnp.float32(0.0),
+            )
+            nb += 1
+            if nb % cfg.PRINT_FREQ == 0:
+                log(f"FtEpoch: [{epoch + 1}][{nb}]\tLoss {float(m['loss']):.4f}")
+        mae = float("nan")
+        if val_ds is not None:
+            pd = jax.tree.map(jnp.asarray, merge(
+                jax.tree.map(np.asarray, trainable),
+                jax.tree.map(np.asarray, state)))
+            mae = val_mae(eval_step, pd, val_ds, cfg.DATA.BATCH_SIZE, log)
+            if mae < best_mae:
+                best_mae, best_epoch = mae, epoch + 1
+        log(f" epoch: {epoch + 1} mae: {mae} best_epoch: {best_epoch} "
+            f"best_mae: {best_mae}")
+        save_torch_checkpoint(
+            os.path.join(ft_dir, f"checkpoint_epoch{epoch + 1}.pth.tar"),
+            merge(jax.tree.map(np.asarray, trainable),
+                  jax.tree.map(np.asarray, state)),
+            epoch=epoch + 1, arch=cfg.MODEL.ARCH,
+        )
+    return {"best_mae": best_mae, "best_epoch": best_epoch, "lc": lc,
+            "ft_dir": ft_dir}
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="TPU SOD prune + finetune")
+    parser.add_argument("--config", required=True, metavar="FILE")
+    parser.add_argument("--epoch", required=True, type=int,
+                        help="training epoch checkpoint to prune from")
+    parser.add_argument("--epochs", type=int, default=None,
+                        help="override FINETUNE.SOLVER.MAX_EPOCHS")
+    args = parser.parse_args()
+    cfg = get_cfg()
+    cfg.merge_from_file(args.config)
+    if not cfg.TASK:
+        cfg.TASK = cfg.MODEL.ARCH
+    run_finetune(cfg, from_epoch=args.epoch, max_epochs=args.epochs)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""CSNet inference driver (TPU-native counterpart of the reference test.py).
+
+Usage: python -m cli.test --config configs/csnet-L-x2.yml
+
+Per dataset under TEST.DATASET_PATH: read images/, preprocess per the
+reference protocol (fixed TEST.IMAGE_H/W resize or ceil-to-16,
+test.py:71-86), run the jitted model, sigmoid, resize the map back to the
+native resolution, save uint8 PNGs, then evaluate (eval driver).
+
+Fixed-size configs compile once; the ceil-to-16 mode compiles per padded
+shape (an LRU of jitted shapes) like the reference pays per-shape cuDNN
+autotuning.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sod100k_tpu.arch.csnet import count_params
+from sod100k_tpu.arch.layer_config import LayerConfig
+from sod100k_tpu.config import get_cfg
+from sod100k_tpu.data.pipeline import preprocess_test_image, resize_bilinear_np
+from sod100k_tpu.interop.torch_ckpt import load_checkpoint
+from sod100k_tpu.train.step import make_eval_step
+
+
+def run_test(cfg, log=print) -> dict:
+    import cv2
+
+    lc = LayerConfig.load(cfg.TEST.MODEL_CONFIG)
+    params, meta = load_checkpoint(cfg.TEST.CHECKPOINT)
+    epoch = meta.get("epoch", 0)
+    log(f"=> loaded checkpoint '{cfg.TEST.CHECKPOINT}' (epoch {epoch})")
+    log("  + Number of params: %.4fM" % (count_params(params) / 1e6))
+    dtype = jnp.bfloat16 if cfg.TPU.DTYPE == "bfloat16" else jnp.float32
+    params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+    eval_step = make_eval_step(lc)
+
+    task = cfg.TASK or cfg.MODEL.ARCH
+    results = {}
+    for dataset in cfg.TEST.DATASETS:
+        sal_dir = os.path.join(cfg.DATA.SAVEDIR, task, f"{dataset}_{epoch}")
+        os.makedirs(sal_dir, exist_ok=True)
+        img_dir = os.path.join(cfg.TEST.DATASET_PATH, dataset, "images")
+        names = sorted(os.listdir(img_dir))
+        t0 = time.time()
+        for name in names:
+            x, (h, w) = preprocess_test_image(
+                os.path.join(img_dir, name),
+                (cfg.TEST.IMAGE_H, cfg.TEST.IMAGE_W),
+            )
+            pred = np.asarray(
+                eval_step(params, jnp.asarray(x, dtype)).astype(jnp.float32)
+            )[0, ..., 0]
+            out = (resize_bilinear_np(pred, (h, w)) * 255).astype(np.uint8)
+            cv2.imwrite(os.path.join(sal_dir, os.path.splitext(name)[0] + ".png"),
+                        out)
+        dt = time.time() - t0
+        log(f"Dataset: {dataset}, {len(names)} images, {len(names) / dt:.2f} img/s")
+        results[dataset] = {"n": len(names), "sal_dir": sal_dir}
+    return {"epoch": epoch, "datasets": results}
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="TPU SOD inference (CSNet)")
+    parser.add_argument("--config", required=True, metavar="FILE")
+    parser.add_argument("--skip-eval", action="store_true")
+    args = parser.parse_args()
+    cfg = get_cfg()
+    cfg.merge_from_file(args.config)
+    if not cfg.TASK:
+        cfg.TASK = cfg.MODEL.ARCH
+    res = run_test(cfg)
+    if not args.skip_eval:
+        from .eval import run_eval
+
+        run_eval(cfg, epoch_range=(res["epoch"], res["epoch"] + 1))
+
+
+if __name__ == "__main__":
+    main()

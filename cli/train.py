@@ -1,0 +1,151 @@
+"""CSNet training driver (TPU-native counterpart of the reference train.py).
+
+Usage: python -m cli.train --config configs/csnet-L-x2_train.yml [--epochs N]
+
+Reproduces the reference recipe (train.py:67-181): architecture from
+AUTO (init_layers or predefined pickle), Adam with the dynamic-weight-decay
+group split, MultiStepLR stepped at epoch starts, BCE + FLOPs penalty while
+epoch < AUTO.FINETUNE, per-epoch val MAE with best-epoch tracking, and
+reference-format per-epoch checkpoints. Data parallelism runs over a
+jax.sharding mesh (TPU.MESH_DEVICES).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sod100k_tpu.config import get_cfg
+from sod100k_tpu.data.pipeline import SalData, batches, device_prefetch
+from sod100k_tpu.interop.torch_ckpt import state_dict_to_pytree
+from sod100k_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from sod100k_tpu.train.optim import make_adam, make_adam_dwd, multistep_lr
+from sod100k_tpu.train.params import merge, partition
+from sod100k_tpu.train.step import make_eval_step, make_train_step
+
+from .common import (
+    Logger,
+    build_model_from_cfg,
+    load_any_checkpoint,
+    resolve_dirs,
+    save_torch_checkpoint,
+    val_mae,
+)
+
+
+def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
+    dirs = resolve_dirs(cfg)
+    log = log or Logger(dirs["base"], "logtrain", dirs["task"])
+    log(cfg, display=False)
+
+    if not cfg.AUTO.ENABLE:
+        raise SystemExit("Enable AUTO to train CSNet!")  # train.py:82
+    lc, params = build_model_from_cfg(cfg, dirs, log)
+    trainable, state = partition(params)
+
+    if cfg.SOLVER.METHOD == "Adam_dynamic_weight_decay":
+        log("Setting wd of bn in ILBlock to 0.")
+        tx = make_adam_dwd(trainable, weight_decay=cfg.SOLVER.WEIGHT_DECAY)
+    else:
+        tx = make_adam(weight_decay=cfg.SOLVER.WEIGHT_DECAY)
+    opt_state = tx.init(trainable)
+
+    start_epoch = 0
+    if cfg.DATA.RESUME and os.path.isfile(cfg.DATA.RESUME):
+        log(f"=> loading checkpoint '{cfg.DATA.RESUME}'")
+        rparams, start_epoch, ropt = load_any_checkpoint(cfg.DATA.RESUME)
+        trainable, state = partition(rparams)
+        if ropt is not None:
+            try:
+                opt_state = jax.tree.unflatten(
+                    jax.tree.structure(opt_state), jax.tree.leaves(ropt))
+            except Exception:
+                log("optimizer state incompatible; reinitialized")
+        log(f"=> loaded checkpoint (epoch {start_epoch})")
+
+    flops_on = cfg.AUTO.FLOPS.ENABLE
+    flops_expand = cfg.AUTO.FLOPS.EXPAND if cfg.AUTO.FLOPS.EXPAND != -1.0 else 2.0
+    step = make_train_step(
+        lc, tx,
+        flops_weight=cfg.AUTO.FLOPS.WEIGHT if flops_on else 0.0,
+        flops_expand=flops_expand,
+        batch_size=cfg.DATA.BATCH_SIZE,
+    )
+    eval_step = make_eval_step(lc)
+
+    n_mesh = cfg.TPU.MESH_DEVICES or len(jax.devices())
+    mesh = make_mesh(min(n_mesh, len(jax.devices())))
+    trainable = replicate(trainable, mesh)
+    state = replicate(state, mesh)
+    opt_state = replicate(opt_state, mesh)
+
+    train_ds = SalData(cfg.DATA.DIR, (cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W),
+                       mode="train", seed=cfg.TPU.SEED)
+    val_ds = SalData(cfg.VAL.DIR, (cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W),
+                     mode="val") if cfg.VAL.DIR else None
+
+    best_mae, best_epoch = float("inf"), -1
+    epochs = max_epochs if max_epochs is not None else cfg.SOLVER.MAX_EPOCHS
+    history = []
+    for epoch in range(start_epoch, epochs):
+        lr = multistep_lr(cfg.SOLVER.LR, cfg.SOLVER.STEPS, epoch) \
+            if cfg.SOLVER.ADJUST_STEP else cfg.SOLVER.LR
+        log(f"lr: {lr}")
+        penalty_on = jnp.float32(1.0 if epoch < cfg.AUTO.FINETUNE else 0.0)
+
+        it = batches(train_ds, cfg.DATA.BATCH_SIZE, shuffle=True,
+                     seed=cfg.TPU.SEED + epoch, num_threads=cfg.DATA.WORKERS)
+        losses, pens, nb = 0.0, 0.0, 0
+        for batch in device_prefetch(it, mesh=mesh):
+            trainable, state, opt_state, m = step(
+                trainable, state, opt_state,
+                {"image": batch["image"], "target": batch["target"]},
+                jnp.float32(lr), penalty_on,
+            )
+            nb += 1
+            if nb % cfg.PRINT_FREQ == 0:
+                losses, pens = float(m["loss"]), float(m["penalty"])
+                log(f"Epoch: [{epoch + 1}][{nb}]\tLoss {losses:.4f}\t"
+                    f"FakeFLOPs {pens:.3f}")
+
+        mae = float("nan")
+        if val_ds is not None:
+            params_now = merge(jax.tree.map(np.asarray, trainable),
+                               jax.tree.map(np.asarray, state))
+            params_dev = jax.tree.map(jnp.asarray, params_now)
+            mae = val_mae(eval_step, params_dev, val_ds, cfg.DATA.BATCH_SIZE, log)
+            if mae < best_mae:
+                best_mae, best_epoch = mae, epoch + 1
+        log(f" epoch: {epoch + 1} mae: {mae} best_epoch: {best_epoch} "
+            f"best_mae: {best_mae}")
+        history.append({"epoch": epoch + 1, "mae": mae, "loss": losses})
+
+        save_torch_checkpoint(
+            os.path.join(dirs["checkpoint"], f"checkpoint_epoch{epoch + 1}.pth.tar"),
+            merge(jax.tree.map(np.asarray, trainable),
+                  jax.tree.map(np.asarray, state)),
+            epoch=epoch + 1, arch=cfg.MODEL.ARCH,
+        )
+    return {"best_mae": best_mae, "best_epoch": best_epoch, "history": history,
+            "lc": lc, "dirs": dirs}
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="TPU SOD training (CSNet)")
+    parser.add_argument("--config", required=True, metavar="FILE")
+    parser.add_argument("--epochs", type=int, default=None,
+                        help="override SOLVER.MAX_EPOCHS")
+    args = parser.parse_args()
+    cfg = get_cfg()
+    cfg.merge_from_file(args.config)
+    if not cfg.TASK:
+        cfg.TASK = cfg.MODEL.ARCH
+    run_training(cfg, max_epochs=args.epochs)
+
+
+if __name__ == "__main__":
+    main()

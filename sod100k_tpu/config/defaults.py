@@ -1,0 +1,115 @@
+"""Default configuration schema.
+
+Byte-compatible with the reference's yacs schema
+(/root/reference/CSNet_training/configs/defaults.py:14-120) so the shipped
+YAML files (csnet-L-x2_train.yml, csnet-L-x2.yml, csnet-L-x1.yml) merge
+unchanged, plus a TPU node for backend choices the reference never had.
+"""
+
+from .node import CfgNode as CN
+
+_C = CN()
+
+_C.TASK = ""
+_C.GPU = 0  # kept for config compatibility; unused on TPU
+_C.PRINT_FREQ = 10
+
+_C.MODEL = CN()
+_C.MODEL.ARCH = "csnet"
+_C.MODEL.BASIC_SPLIT = [1]
+
+_C.LOSS = CN()
+_C.LOSS.MLOSS = 4
+
+_C.DATA = CN()
+_C.DATA.DIR = ""
+_C.DATA.BATCH_SIZE = 32
+_C.DATA.WORKERS = 4
+_C.DATA.SAVEDIR = "results/"
+_C.DATA.PRETRAIN = ""
+_C.DATA.RESUME = ""
+_C.DATA.IMAGE_H = 224
+_C.DATA.IMAGE_W = 224
+_C.DATA.AUG = False
+
+_C.VAL = CN()
+_C.VAL.DIR = ""
+_C.VAL.PRINT_FREQ = 20
+
+_C.TEST = CN()
+_C.TEST.DATASET_PATH = ""
+_C.TEST.BEGIN = 200
+_C.TEST.INTERVAL = 5
+_C.TEST.DATASETS = ["ECSSD"]
+_C.TEST.CHECKPOINT = ""
+_C.TEST.ENABLE = True
+_C.TEST.IMAGE_H = 0
+_C.TEST.IMAGE_W = 0
+_C.TEST.TESTALL = False
+_C.TEST.MODEL_CONFIG = ""
+
+_C.SOLVER = CN()
+_C.SOLVER.METHOD = "Adam"
+_C.SOLVER.MAX_EPOCHS = 100
+_C.SOLVER.LR = 1e-4
+_C.SOLVER.MOMENTUM = 0.95
+_C.SOLVER.WEIGHT_DECAY = 5e-3
+_C.SOLVER.ADJUST_STEP = False
+_C.SOLVER.STEPS = [200, 250]
+_C.SOLVER.WARMUPLR = 0
+_C.SOLVER.STEPSIZE = 20
+_C.SOLVER.GAMMA = 0.5
+_C.SOLVER.LR_SCHEDULER = "step"
+
+_C.SOLVER.FINETUNE = CN()
+_C.SOLVER.FINETUNE.METHOD = "Adam"
+_C.SOLVER.FINETUNE.LR = 1e-4
+_C.SOLVER.FINETUNE.MOMENTUM = 0.95
+_C.SOLVER.FINETUNE.WEIGHT_DECAY = 5e-3
+_C.SOLVER.FINETUNE.GAMMA = 0.5
+_C.SOLVER.FINETUNE.ADJUST_STEP = False
+_C.SOLVER.FINETUNE.STEPS = [5, 10]
+_C.SOLVER.FINETUNE.LR_SCHEDULER = "step"
+
+_C.PRUNE = CN()
+_C.PRUNE.BNS = False
+_C.PRUNE.SHOW = True
+
+_C.AUTO = CN()
+_C.AUTO.ENABLE = False
+_C.AUTO.PREDEFINE = ""
+_C.AUTO.FINETUNE = 300
+_C.AUTO.FLOPS = CN()
+_C.AUTO.FLOPS.ENABLE = False
+_C.AUTO.FLOPS.WEIGHT = 0.0
+_C.AUTO.FLOPS.EXPAND = -1.0
+_C.AUTO.EXPAND = 1.0
+_C.AUTO.LOAD_WEIGHT = "NO"
+
+_C.FINETUNE = CN()
+_C.FINETUNE.ENABLE = False
+_C.FINETUNE.THRES = 1e-40
+_C.FINETUNE.SOLVER = CN()
+_C.FINETUNE.SOLVER.METHOD = "Adam"
+_C.FINETUNE.SOLVER.MAX_EPOCHS = 20
+_C.FINETUNE.SOLVER.LR = 1e-7
+_C.FINETUNE.SOLVER.MOMENTUM = 0.95
+_C.FINETUNE.SOLVER.WEIGHT_DECAY = 5e-3
+_C.FINETUNE.SOLVER.ADJUST_STEP = False
+_C.FINETUNE.SOLVER.STEPS = [50, 100]
+_C.FINETUNE.SOLVER.WARMUPLR = 0
+_C.FINETUNE.SOLVER.STEPSIZE = 20
+_C.FINETUNE.SOLVER.GAMMA = 0.5
+_C.FINETUNE.SOLVER.LR_SCHEDULER = "step"
+
+# --- TPU-native additions (absent from reference YAMLs; defaults apply) ----
+_C.TPU = CN()
+_C.TPU.DTYPE = "float32"          # "bfloat16" for the fast inference path
+_C.TPU.MESH_DEVICES = 0           # 0 = all visible devices, else first N
+_C.TPU.EVAL_BACKEND = "device"    # "device" (JAX) | "native" (C++ CLI)
+_C.TPU.SEED = 0
+
+
+def get_cfg() -> CN:
+    """A fresh mutable copy of the default config."""
+    return _C.clone()

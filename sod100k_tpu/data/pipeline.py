@@ -181,10 +181,14 @@ def batches(
         for b in range(n_full):
             idxs = order[b * batch_size:(b + 1) * batch_size]
             samples = list(pool.map(dataset.__getitem__, idxs))
-            batch = {
-                "image": np.stack([s["image"] for s in samples]),
-                "target": np.stack([s["target"] for s in samples]),
-            }
+            targets = [s["target"] for s in samples]
+            batch = {"image": np.stack([s["image"] for s in samples])}
+            if len({t.shape for t in targets}) == 1:
+                batch["target"] = np.stack(targets)
+            else:
+                # val protocol: native-resolution GTs stay a ragged list
+                # (reference val_collate, prepare_data.py:142-153)
+                batch["target"] = targets
             if "h" in samples[0]:
                 batch["h"] = [s["h"] for s in samples]
                 batch["w"] = [s["w"] for s in samples]
