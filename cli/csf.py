@@ -1,0 +1,192 @@
+"""CSF+Res2Net driver (counterpart of the reference CSF+Res2Net/main.py).
+
+Usage:
+  train: python -m cli.csf --mode train --train_root <dir> --train_list <lst>
+             [--arch res2net50|res2net101] [--image_size 0|336]
+  test:  python -m cli.csf --mode test --model <ckpt> --test_fold <dir>
+             [--sal_mode e|p|d|h|s|t|m_r]
+
+Same argparse surface as the reference (main.py:54-84) plus TPU extras:
+--arch selects the backbone depth, --image_size 0 keeps the reference's
+native-size protocol via shape-bucketed padded batches (masked-sum loss),
+any other value trains at that fixed square size (336 = the Res2Net-101
+recipe). Solver semantics (solver.py): frozen-BN backbone, Adam 5e-5/5e-4
+over trainable params, grad accumulation iter_size, lr/10 after epoch 15
+with optimizer re-creation (moments reset), epoch_save checkpoints, test
+loop writing *_sal_fuse.png + FPS print.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sod100k_tpu.arch.csf_res2net import csf_init, load_res2net_backbone
+from sod100k_tpu.data.csf_dataset import (
+    CSFTestData,
+    CSFTrainData,
+    fixed_size_batches,
+    padded_batches,
+)
+from sod100k_tpu.interop.torch_ckpt import load_checkpoint
+from sod100k_tpu.train.csf_step import (
+    csf_partition,
+    make_csf_eval_step,
+    make_csf_optimizer,
+    make_csf_train_step,
+)
+from sod100k_tpu.train.params import merge
+
+from .common import save_torch_checkpoint
+
+LR_DECAY_EPOCH = (15,)  # solver.py:24
+
+
+def get_test_info(sal_mode: str = "e") -> tuple[str, str]:
+    table = {
+        "e": ("./data/ECSSD/Imgs/", "./data/ECSSD/test.lst"),
+        "p": ("./data/PASCALS/Imgs/", "./data/PASCALS/test.lst"),
+        "d": ("./data/DUTOMRON/Imgs/", "./data/DUTOMRON/test.lst"),
+        "h": ("./data/HKU-IS/Imgs/", "./data/HKU-IS/test.lst"),
+        "s": ("./data/SOD/Imgs/", "./data/SOD/test.lst"),
+        "t": ("./data/DUTS-TE/Imgs/", "./data/DUTS-TE/test.lst"),
+        "m_r": ("./data/MSRA/Imgs_resized/", "./data/MSRA/test_resized.lst"),
+    }
+    return table[sal_mode]
+
+
+def _load_params(config):
+    params = csf_init(jax.random.key(0), backbone=config.arch)
+    if config.load:
+        loaded, _ = load_checkpoint(config.load)
+        params = merge(params, loaded)  # strict=False semantics
+    elif config.pretrained_model and os.path.isfile(config.pretrained_model):
+        params = load_res2net_backbone(params, config.pretrained_model)
+    return jax.tree.map(jnp.asarray, params)
+
+
+def run_csf_train(config, log=print) -> dict:
+    run = 0
+    while os.path.exists(os.path.join(config.save_folder, f"run-{run}")):
+        run += 1
+    save_folder = os.path.join(config.save_folder, f"run-{run}")
+    os.makedirs(os.path.join(save_folder, "models"))
+
+    params = _load_params(config)
+    trainable, state = csf_partition(params)
+    n_params = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(trainable))
+    log(f"The number of trainable parameters: {n_params}")
+
+    tx = make_csf_optimizer(weight_decay=config.wd, iter_size=config.iter_size)
+    opt_state = tx.init(trainable)
+    step = make_csf_train_step(tx, backbone=config.arch,
+                               iter_size=config.iter_size,
+                               batch_size=config.batch_size)
+
+    dataset = CSFTrainData(config.train_root, config.train_list)
+    lr = config.lr
+    losses = []
+    for epoch in range(config.epoch):
+        if config.image_size:
+            it = fixed_size_batches(dataset, config.batch_size,
+                                    (config.image_size, config.image_size),
+                                    seed=epoch)
+        else:
+            it = padded_batches(dataset, config.batch_size, seed=epoch)
+        r_loss, i = 0.0, 0
+        for batch in it:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            trainable, opt_state, m = step(trainable, state, opt_state, batch,
+                                           jnp.float32(lr))
+            r_loss += float(m["loss"])
+            i += 1
+            if i % max(config.show_every // config.batch_size, 1) == 0:
+                log(f"epoch: [{epoch}/{config.epoch}] iter [{i}] || "
+                    f"Sal : {r_loss:.4f}  lr {lr}")
+                losses.append(r_loss)
+                r_loss = 0.0
+        if (epoch + 1) % config.epoch_save == 0:
+            save_torch_checkpoint(
+                os.path.join(save_folder, "models", f"epoch_{epoch + 1}.pth"),
+                merge(jax.tree.map(np.asarray, trainable),
+                      jax.tree.map(np.asarray, state)),
+                epoch=epoch + 1, arch=f"csf_{config.arch}")
+        if epoch in LR_DECAY_EPOCH:
+            lr = lr * 0.1
+            opt_state = tx.init(trainable)  # reference re-creates Adam
+
+    save_torch_checkpoint(
+        os.path.join(save_folder, "models", "final.pth"),
+        merge(jax.tree.map(np.asarray, trainable),
+              jax.tree.map(np.asarray, state)),
+        epoch=config.epoch, arch=f"csf_{config.arch}")
+    return {"save_folder": save_folder, "losses": losses}
+
+
+def run_csf_test(config, log=print) -> dict:
+    import cv2
+
+    params = csf_init(jax.random.key(0), backbone=config.arch)
+    loaded, _ = load_checkpoint(config.model)
+    params = jax.tree.map(jnp.asarray, merge(params, loaded))
+    eval_step = make_csf_eval_step(config.arch)
+    dataset = CSFTestData(config.test_root, config.test_list)
+    os.makedirs(config.test_fold, exist_ok=True)
+    t0 = time.time()
+    for i in range(len(dataset)):
+        s = dataset[i]
+        # native-size forward like the reference (solver.py:62-78); jit caches
+        # one executable per distinct image shape
+        pred = np.asarray(eval_step(params, jnp.asarray(s["image"][None])))[0, ..., 0]
+        out = (255 * pred).astype(np.uint8)
+        name = os.path.splitext(os.path.basename(s["name"]))[0]
+        cv2.imwrite(os.path.join(config.test_fold, name + "_sal_fuse.png"), out)
+    dt = time.time() - t0
+    log("Speed: %f FPS" % (len(dataset) / dt))
+    log("Test Done!")
+    return {"fps": len(dataset) / dt, "n": len(dataset)}
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n_color", type=int, default=3)
+    parser.add_argument("--lr", type=float, default=5e-5)
+    parser.add_argument("--wd", type=float, default=5e-4)
+    parser.add_argument("--pretrained_model", type=str, default="")
+    parser.add_argument("--epoch", type=int, default=24)
+    parser.add_argument("--batch_size", type=int, default=1)
+    parser.add_argument("--num_thread", type=int, default=1)
+    parser.add_argument("--load", type=str, default="")
+    parser.add_argument("--save_folder", type=str, default="./results")
+    parser.add_argument("--epoch_save", type=int, default=3)
+    parser.add_argument("--iter_size", type=int, default=10)
+    parser.add_argument("--show_every", type=int, default=50)
+    parser.add_argument("--train_root", type=str, default="")
+    parser.add_argument("--train_list", type=str, default="")
+    parser.add_argument("--model", type=str, default=None)
+    parser.add_argument("--test_fold", type=str, default=None)
+    parser.add_argument("--sal_mode", type=str, default="e")
+    parser.add_argument("--mode", type=str, default="train",
+                        choices=["train", "test"])
+    # TPU-native extras
+    parser.add_argument("--arch", type=str, default="res2net50",
+                        choices=["res2net50", "res2net101"])
+    parser.add_argument("--image_size", type=int, default=0,
+                        help="0 = native-size bucketed batches; else fixed "
+                             "square size (336 for the res2net101 recipe)")
+    config = parser.parse_args()
+    os.makedirs(config.save_folder, exist_ok=True)
+    config.test_root, config.test_list = get_test_info(config.sal_mode)
+    if config.mode == "train":
+        run_csf_train(config)
+    else:
+        run_csf_test(config)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+""".lst-file driven datasets for the CSF+Res2Net pipeline.
+
+Mirrors CSF+Res2Net/dataset/dataset.py: train lists of "img gt" path pairs
+relative to a root; images cv2-decoded, RGB, /255, ImageNet-normalized
+(:69-81); labels /255 single-channel (:98-107); random horizontal flip at
+p=0.5 (:109-114). No resizing in the reference (native sizes, batch 1).
+
+For the TPU, ``padded_batches`` groups samples into shape buckets
+(ceil-to-`bucket` multiples) and emits fixed-shape padded batches with pixel
+validity masks, so the masked-sum loss equals the reference's while XLA
+compiles one program per bucket. ``fixed_size`` instead resizes everything to
+one shape (e.g. 336x336 for the Res2Net-101 recipe).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+from .pipeline import IMAGENET_MEAN, IMAGENET_STD, resize_bilinear_np
+
+
+def _load_image(path: str) -> np.ndarray:
+    import cv2
+
+    im = cv2.imread(path)
+    if im is None:
+        raise FileNotFoundError(path)
+    im = cv2.cvtColor(im, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+    return (im - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def _load_label(path: str) -> np.ndarray:
+    import cv2
+
+    im = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if im is None:
+        raise FileNotFoundError(path)
+    if im.ndim == 3:
+        im = im[:, :, 0]
+    return im.astype(np.float32)[..., None] / 255.0
+
+
+class CSFTrainData:
+    def __init__(self, data_root: str, data_list: str, seed: int = 0):
+        self.root = data_root
+        with open(data_list) as f:
+            self.pairs = [line.split() for line in f.read().splitlines() if line]
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def __getitem__(self, idx: int) -> dict:
+        im_name, gt_name = self.pairs[idx][0], self.pairs[idx][1]
+        img = _load_image(os.path.join(self.root, im_name))
+        gt = _load_label(os.path.join(self.root, gt_name))
+        if self.rng.integers(2) == 1:  # cv_random_flip
+            img, gt = img[:, ::-1], gt[:, ::-1]
+        return {"image": img, "target": gt}
+
+
+class CSFTestData:
+    def __init__(self, data_root: str, data_list: str):
+        self.root = data_root
+        with open(data_list) as f:
+            self.names = [line for line in f.read().splitlines() if line]
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def __getitem__(self, idx: int) -> dict:
+        img = _load_image(os.path.join(self.root, self.names[idx]))
+        return {"image": img, "name": self.names[idx],
+                "size": img.shape[:2]}
+
+
+def _bucket(h: int, w: int, step: int) -> tuple[int, int]:
+    return (-(-h // step) * step, -(-w // step) * step)
+
+
+def padded_batches(dataset: CSFTrainData, batch_size: int = 1, *,
+                   bucket: int = 32, shuffle: bool = True,
+                   seed: int = 0) -> Iterator[dict]:
+    """Shape-bucketed padded batches: {"image","target","mask"} fixed-shape
+    per bucket; masked-sum losses equal native-size losses exactly."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    pending: dict[tuple[int, int], list] = {}
+    for idx in order:
+        s = dataset[int(idx)]
+        key = _bucket(*s["image"].shape[:2], bucket)
+        pending.setdefault(key, []).append(s)
+        if len(pending[key]) == batch_size:
+            yield _pad_stack(pending.pop(key), key)
+    for key, rest in pending.items():
+        yield _pad_stack(rest, key)
+
+
+def _pad_stack(samples: list, hw: tuple[int, int]) -> dict:
+    n = len(samples)
+    bh, bw = hw
+    img = np.zeros((n, bh, bw, 3), np.float32)
+    tgt = np.zeros((n, bh, bw, 1), np.float32)
+    msk = np.zeros((n, bh, bw, 1), np.float32)
+    for i, s in enumerate(samples):
+        h, w = s["image"].shape[:2]
+        img[i, :h, :w] = s["image"]
+        tgt[i, :h, :w] = s["target"]
+        msk[i, :h, :w] = 1.0
+    return {"image": img, "target": tgt, "mask": msk}
+
+
+def fixed_size_batches(dataset: CSFTrainData, batch_size: int,
+                       hw: tuple[int, int] = (336, 336), *,
+                       shuffle: bool = True, seed: int = 0) -> Iterator[dict]:
+    """Fixed-resolution batches (the 336x336 Res2Net-101 training recipe)."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    for b in range(len(order) // batch_size):
+        samples = [dataset[int(i)] for i in order[b * batch_size:(b + 1) * batch_size]]
+        img = np.stack([resize_bilinear_np(s["image"], hw) for s in samples])
+        tgt = np.stack([resize_bilinear_np(s["target"], hw)[..., None]
+                        for s in samples])
+        yield {"image": img, "target": tgt}

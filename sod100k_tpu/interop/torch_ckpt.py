@@ -38,7 +38,20 @@ def _to_numpy(t) -> np.ndarray:
 
 
 def state_dict_to_pytree(state_dict: dict[str, Any], dtype=np.float32) -> dict:
-    """Convert a reference CSNet state_dict into our nested param pytree."""
+    """Convert a reference state_dict into our nested param pytree.
+
+    Two passes: build the raw nested tree (4-D weights transposed to HWIO
+    "kernel"; the CSF gOctConv's plural ``weights`` included), then classify
+    each module node *structurally*:
+
+    - has running_mean  -> BatchNorm: weight/bias/running_* -> scale/offset/mean/var
+    - 1-D weight + bias -> affine norm without stats (GroupNorm) -> scale/offset
+    - 1-D weight alone  -> PReLU -> alpha
+    - kernel (+bias)    -> convolution, names kept
+
+    Works for CSNet, the CSF head, and the Res2Net backbone (incl. Sequential
+    stem / downsample indices).
+    """
     params: dict = {}
     for key, tensor in state_dict.items():
         parts = key.split(".")
@@ -46,32 +59,30 @@ def state_dict_to_pytree(state_dict: dict[str, Any], dtype=np.float32) -> dict:
         if leaf == "num_batches_tracked":
             continue
         arr = _to_numpy(tensor).astype(dtype)
-        parent = parts[:-1]
-        # classify the leaf
         if arr.ndim == 4:
             arr = arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
-            new_leaf = "kernel"
-        elif leaf in _BN_RENAME and (
-            parent and (parent[-1].isdigit() and len(parent) >= 2 and parent[-2] in ("bns",))
-            or (parent and parent[-1] in ("bn",))
-        ):
-            new_leaf = _BN_RENAME[leaf]
-        elif leaf == "weight" and parent and (
-            (parent[-1].isdigit() and len(parent) >= 2 and parent[-2] == "prelus")
-            or parent[-1] == "prelu"
-        ):
-            new_leaf = "alpha"
-        elif leaf == "bias":
-            new_leaf = "bias"
-        elif leaf == "weight":
-            # 1-D/2-D non-norm weights (none expected in CSNet, keep name)
-            new_leaf = "weight"
-        else:
-            new_leaf = _BN_RENAME.get(leaf, leaf)
+            leaf = "kernel"
         node = params
-        for p in parent:
+        for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node[new_leaf] = arr
+        node[leaf] = arr
+
+    def classify(node: dict) -> None:
+        for v in node.values():
+            if isinstance(v, dict):
+                classify(v)
+        leaves = {k for k, v in node.items() if not isinstance(v, dict)}
+        if "running_mean" in leaves:
+            for old, new in _BN_RENAME.items():
+                if old in node:
+                    node[new] = node.pop(old)
+        elif leaves == {"weight", "bias"} and node["weight"].ndim == 1:
+            node["scale"] = node.pop("weight")
+            node["offset"] = node.pop("bias")
+        elif leaves == {"weight"} and node["weight"].ndim == 1:
+            node["alpha"] = node.pop("weight")
+
+    classify(params)
     return params
 
 

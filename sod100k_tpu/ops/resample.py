@@ -122,6 +122,54 @@ def avg_pool(x: jax.Array, factor: int = 2) -> jax.Array:
     return s / jnp.asarray(factor * factor, x.dtype)
 
 
+def max_pool_torch(x: jax.Array, kernel: int, stride: int, padding: int) -> jax.Array:
+    """torch nn.MaxPool2d(kernel, stride, padding) with floor output shape
+    (Res2Net stem pool, csf_res2net.py:128)."""
+    return lax.reduce_window(
+        x, -float("inf"), lax.max,
+        (1, kernel, kernel, 1), (1, stride, stride, 1),
+        ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+
+
+def avg_pool_torch(
+    x: jax.Array, kernel: int, stride: int, padding: int = 0,
+    ceil_mode: bool = False, count_include_pad: bool = True,
+) -> jax.Array:
+    """torch nn.AvgPool2d semantics incl. ceil_mode + count_include_pad
+    (Bottle2neck stage pool / downsample, csf_res2net.py:52,149-151).
+
+    ceil_mode adds right/bottom padding to cover a final partial window;
+    count_include_pad=False divides by the true element count per window.
+    """
+    n, h, w, c = x.shape
+
+    def out_len(size):
+        eff = size + 2 * padding - kernel
+        return (-(-eff // stride) if ceil_mode else eff // stride) + 1
+
+    oh, ow = out_len(h), out_len(w)
+    extra_h = max(0, (oh - 1) * stride + kernel - (h + 2 * padding))
+    extra_w = max(0, (ow - 1) * stride + kernel - (w + 2 * padding))
+    pads = ((0, 0), (padding, padding + extra_h), (padding, padding + extra_w), (0, 0))
+    win, strides = (1, kernel, kernel, 1), (1, stride, stride, 1)
+    s = lax.reduce_window(x, 0.0, lax.add, win, strides, pads)
+    if count_include_pad:
+        if not (extra_h or extra_w):
+            return s / float(kernel * kernel)
+        # divisor counts window ∩ padded input (ceil extension excluded)
+        ones = jnp.ones((1, h + 2 * padding, w + 2 * padding, 1), x.dtype)
+        cnt = lax.reduce_window(
+            ones, 0.0, lax.add, win, strides,
+            ((0, 0), (0, extra_h), (0, extra_w), (0, 0)),
+        )
+    else:
+        # divisor counts window ∩ original input
+        ones = jnp.ones((1, h, w, 1), x.dtype)
+        cnt = lax.reduce_window(ones, 0.0, lax.add, win, strides, pads)
+    return s / cnt
+
+
 def resize_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     """Bilinear resize to an arbitrary (H, W), NHWC, half-pixel centers.
 

@@ -1,0 +1,105 @@
+"""CSF+Res2Net training step (the reference Solver's semantics, TPU-native).
+
+Reference recipe (CSF+Res2Net/solver.py): Adam(lr 5e-5, wd 5e-4) over the
+*trainable* params only (backbone block/top BNs are frozen:
+csf_res2net.py:45-46,60-62,66-67,125-126,156-157 — note the stem Sequential
+BNs are NOT frozen, only eval-mode), BCE-with-logits reduction='sum' scaled by
+1/(iter_size*batch) (:98-99), gradient accumulation over iter_size=10
+micro-batches (:104-110), lr/10 after epoch 15 by optimizer re-creation
+(:123-125; re-creating Adam also resets its moments — drivers reproduce this
+by re-running tx.init at the decay epoch).
+
+TPU adaptation: the reference trains at native image size with batch 1
+(README: "Only support batch_size=1"), which would recompile per shape under
+XLA. Steps here take fixed-shape (optionally padded) batches with a validity
+mask; the masked *sum* reduction keeps the loss exactly equal to the
+reference's on the real pixels. Gradient accumulation is optax.MultiSteps, so
+one jitted step per micro-batch and the optimizer applies every iter_size-th.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..arch.csf_res2net import csf_apply
+from .params import merge, partition
+
+_FROZEN_BN_MARKERS = ("bn1", "bn3", "bns", "downsample")
+
+
+def csf_partition(params: dict) -> tuple[dict, dict]:
+    """Split CSF params into (trainable, state): BN running stats plus the
+    frozen backbone BN affines (requires_grad=False in the reference)."""
+    trainable, state = partition(params)
+
+    def is_frozen(path_parts: list[str]) -> bool:
+        if path_parts[0] != "base":
+            return False
+        if path_parts[1] == "bn1":
+            return True  # base.bn1 (csf_res2net.py:125-126)
+        if path_parts[1].startswith("layer"):
+            # block bn1/bns.*/bn3 and downsample.2 affines
+            return any(m in path_parts for m in _FROZEN_BN_MARKERS)
+        return False  # stem conv1.1/conv1.4 BNs stay trainable
+
+    def move(node_t, node_s, parts):
+        for k in list(node_t.keys()):
+            v = node_t[k]
+            if isinstance(v, dict):
+                move(v, node_s.setdefault(k, {}), parts + [k])
+                if not v:
+                    del node_t[k]
+            elif k in ("scale", "offset") and is_frozen(parts + [k]):
+                node_s[k] = node_t.pop(k)
+
+    move(trainable, state, [])
+    return trainable, state
+
+
+def make_csf_optimizer(lr: float = 5e-5, weight_decay: float = 5e-4,
+                       iter_size: int = 10) -> optax.GradientTransformation:
+    """Adam(0.9/0.999, eps 1e-8) + L2, applied every iter_size micro-steps."""
+    inner = optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-1.0),
+    )
+    return optax.MultiSteps(inner, every_k_schedule=iter_size)
+
+
+def make_csf_train_step(tx: optax.GradientTransformation, *,
+                        backbone: str = "res2net50",
+                        iter_size: int = 10, batch_size: int = 1,
+                        donate: bool = True):
+    """Jitted micro-batch step. batch: {"image","target"} (+optional "mask"
+    over pixels for padded batches); loss = sum(BCE * mask)/(iter*batch)."""
+
+    def loss_fn(trainable, state, batch):
+        params = merge(trainable, state)
+        logits = csf_apply(params, batch["image"], backbone).astype(jnp.float32)
+        bce = optax.sigmoid_binary_cross_entropy(
+            logits, batch["target"].astype(jnp.float32))
+        if "mask" in batch:
+            bce = bce * batch["mask"].astype(jnp.float32)
+        return jnp.sum(bce) / (iter_size * batch_size)
+
+    def step(trainable, state, opt_state, batch, lr):
+        loss, grads = jax.value_and_grad(loss_fn)(trainable, state, batch)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, {"loss": loss}
+
+    return jax.jit(step, donate_argnums=(0, 2) if donate else ())
+
+
+def make_csf_eval_step(backbone: str = "res2net50"):
+    @jax.jit
+    def step(params, image):
+        return jax.nn.sigmoid(csf_apply(params, image, backbone))
+
+    return step

@@ -1,0 +1,68 @@
+"""CSF+Res2Net parity vs the reference torch implementation on identical
+weights (the pretrained backbone itself is not downloadable here; structural
+parity on matched random weights gives the same guarantee)."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sod100k_tpu.arch.csf_res2net import csf_apply, csf_init
+from sod100k_tpu.interop.torch_ckpt import pytree_to_state_dict
+
+
+def test_csf_forward_shape():
+    params = csf_init(jax.random.key(0))
+    x = jnp.zeros((1, 64, 64, 3))
+    y = csf_apply(params, x)
+    assert y.shape == (1, 64, 64, 1)
+
+
+def test_res2net101_depth():
+    params = csf_init(jax.random.key(0), backbone="res2net101")
+    assert len(params["base"]["layer3"]) == 23
+    x = jnp.zeros((1, 32, 32, 3))
+    assert csf_apply(params, x, backbone="res2net101").shape == (1, 32, 32, 1)
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference/CSF+Res2Net"),
+                    reason="reference not mounted")
+def test_csf_matches_reference_torch():
+    import torch
+
+    sys.path.insert(0, "/root/reference/CSF+Res2Net")
+    for m in list(sys.modules):
+        if m.startswith("networks"):
+            sys.modules.pop(m)
+    from networks.csf_res2net import CSFNet
+
+    params = csf_init(jax.random.key(2))
+    sd = pytree_to_state_dict(params)
+    # the CSF gOctConv names its dense weight `weights` (gOctConv.py:21)
+    for k in list(sd):
+        if k in ("fuse.conv.weight", "fuse1x1.conv.weight"):
+            sd[k.replace(".weight", ".weights")] = sd.pop(k)
+    model = CSFNet()
+    res = model.load_state_dict(
+        {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}, strict=False)
+    assert not res.unexpected_keys, res.unexpected_keys
+    # only num_batches_tracked buffers may be missing
+    assert all("num_batches_tracked" in k for k in res.missing_keys)
+    model.eval()
+
+    # our param count matches torch's trainable count
+    n_torch = sum(p.nelement() for p in model.parameters())
+    from sod100k_tpu.arch.csnet import count_params
+
+    assert count_params(params) == n_torch
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 3, 64, 64), dtype=np.float32)
+    with torch.no_grad():
+        want = model(torch.from_numpy(x)).numpy()[:, 0]
+    got = np.asarray(csf_apply(jax.tree.map(jnp.asarray, params),
+                               jnp.asarray(x.transpose(0, 2, 3, 1))))[..., 0]
+    assert np.abs(got - want).max() < 1e-4, np.abs(got - want).max()

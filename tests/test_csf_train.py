@@ -1,0 +1,134 @@
+"""CSF training-path tests: solver semantics (frozen BNs, grad accumulation,
+masked-sum loss) and the .lst data pipeline + CLI driver end-to-end."""
+
+import os
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sod100k_tpu.arch.csf_res2net import csf_init
+from sod100k_tpu.train.csf_step import (
+    csf_partition,
+    make_csf_eval_step,
+    make_csf_optimizer,
+    make_csf_train_step,
+)
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _params():
+    return csf_init(jax.random.key(0))
+
+
+def test_csf_partition_freezes_reference_bns():
+    trainable, state = csf_partition(_params())
+    flat_t = {jax.tree_util.keystr(k) for k, _ in
+              jax.tree_util.tree_leaves_with_path(trainable)}
+
+    def t(path):
+        return "['" + "']['".join(path.split(".")) + "']" in flat_t
+
+    assert not t("base.bn1.scale")                      # frozen (:125)
+    assert not t("base.layer1.0.bn1.scale")             # frozen (:45)
+    assert not t("base.layer1.0.bns.0.offset")          # frozen (:60-62)
+    assert not t("base.layer2.0.downsample.2.scale")    # frozen (:156)
+    assert t("base.conv1.1.scale")                      # stem BN trainable
+    assert t("base.layer1.0.conv1.kernel")              # convs trainable
+    assert t("fuse.bns.0.scale")                        # head GN trainable
+    assert not t("base.layer1.0.bn1.mean")              # stats are state
+
+
+def test_csf_grad_accumulation_updates_every_k():
+    params = _params()
+    trainable, state = csf_partition(params)
+    tx = make_csf_optimizer(iter_size=2)
+    opt_state = tx.init(trainable)
+    step = make_csf_train_step(tx, iter_size=2, batch_size=1, donate=False)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((1, 32, 32, 3), dtype=np.float32)),
+        "target": jnp.asarray((rng.random((1, 32, 32, 1)) > 0.5).astype(np.float32)),
+    }
+    before = trainable["cls_layer"]["kernel"]
+    t1, opt_state, m1 = step(trainable, state, opt_state, batch, jnp.float32(5e-5))
+    # first micro-step: gradients accumulated, no parameter update
+    np.testing.assert_array_equal(np.asarray(t1["cls_layer"]["kernel"]),
+                                  np.asarray(before))
+    t2, opt_state, m2 = step(t1, state, opt_state, batch, jnp.float32(5e-5))
+    assert not np.array_equal(np.asarray(t2["cls_layer"]["kernel"]),
+                              np.asarray(before))
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+
+
+def test_csf_masked_loss_equals_native():
+    """Padded-batch masked-sum BCE == native-size sum BCE."""
+    import optax
+
+    from sod100k_tpu.arch.csf_res2net import csf_apply
+
+    params = jax.tree.map(jnp.asarray, _params())
+    rng = np.random.default_rng(1)
+    img = rng.standard_normal((1, 37, 45, 3)).astype(np.float32)
+    tgt = (rng.random((1, 37, 45, 1)) > 0.5).astype(np.float32)
+
+    logits = csf_apply(params, jnp.asarray(img)).astype(jnp.float32)
+    native = float(jnp.sum(optax.sigmoid_binary_cross_entropy(
+        logits, jnp.asarray(tgt))))
+
+    pi = np.zeros((1, 64, 64, 3), np.float32)
+    pt = np.zeros((1, 64, 64, 1), np.float32)
+    pm = np.zeros((1, 64, 64, 1), np.float32)
+    pi[0, :37, :45], pt[0, :37, :45], pm[0, :37, :45] = img[0], tgt[0], 1
+    plog = csf_apply(params, jnp.asarray(pi)).astype(jnp.float32)
+    padded = float(jnp.sum(optax.sigmoid_binary_cross_entropy(
+        plog, jnp.asarray(pt)) * jnp.asarray(pm)))
+    # padding perturbs conv borders inside the valid region; the *loss
+    # protocol* (sum over valid pixels) must match to a tight tolerance
+    assert padded == pytest.approx(native, rel=2e-2)
+
+
+@pytest.fixture(scope="module")
+def csf_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("csfdata")
+    (root / "imgs").mkdir()
+    (root / "gts").mkdir()
+    rng = np.random.default_rng(4)
+    lines = []
+    for i in range(4):
+        h, w = int(rng.integers(40, 64)), int(rng.integers(40, 64))
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        gt = (rng.random((h, w)) > 0.6).astype(np.uint8) * 255
+        cv2.imwrite(str(root / "imgs" / f"{i}.jpg"), img)
+        cv2.imwrite(str(root / "gts" / f"{i}.png"), gt)
+        lines.append(f"imgs/{i}.jpg gts/{i}.png")
+    (root / "train.lst").write_text("\n".join(lines) + "\n")
+    (root / "test.lst").write_text("\n".join(f"imgs/{i}.jpg" for i in range(4)) + "\n")
+    return root
+
+
+def test_csf_cli_train_and_test(csf_root, tmp_path):
+    from cli.csf import run_csf_test, run_csf_train
+
+    config = types.SimpleNamespace(
+        lr=5e-5, wd=5e-4, pretrained_model="", epoch=1, batch_size=1,
+        load="", save_folder=str(tmp_path / "out"), epoch_save=1, iter_size=2,
+        show_every=2, train_root=str(csf_root),
+        train_list=str(csf_root / "train.lst"), arch="res2net50",
+        image_size=48,
+    )
+    os.makedirs(config.save_folder)
+    out = run_csf_train(config, log=lambda *a, **k: None)
+    final = os.path.join(out["save_folder"], "models", "final.pth")
+    assert os.path.exists(final)
+
+    config.model = final
+    config.test_root = str(csf_root)
+    config.test_list = str(csf_root / "test.lst")
+    config.test_fold = str(tmp_path / "maps")
+    res = run_csf_test(config, log=lambda *a, **k: None)
+    assert res["n"] == 4
+    assert len(os.listdir(config.test_fold)) == 4
