@@ -78,7 +78,16 @@ def build_model_from_cfg(cfg, dirs: dict, log=print):
         os.path.join(dirs["checkpoint"], "checkpoint_init.pth.tar"),
         params, epoch=-1, arch="CSNet",
     )
-    log("  + Number of params: %.4fM" % (count_params(params) / 1e6))
+    # startup params/FLOPs print contract (reference train.py:93-96)
+    from sod100k_tpu.arch.csnet import csnet_apply
+    from sod100k_tpu.utils.profiler import simplesum
+
+    n, flops = simplesum(
+        lambda p, x: csnet_apply(p, x, lc), params,
+        (cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W, 3),
+    )
+    log("  + Number of params: %.4fM" % (n / 1e6))
+    log("  + Number of FLOPs: %.4fG" % (flops / 1e9))
     return lc, params
 
 
