@@ -3,9 +3,14 @@
 Baseline: the reference PyTorch pipeline measured at ~2.9 images/sec on this
 container's CPU (BASELINE.md; north star is >10x per chip). We benchmark the
 shipped csnet-L-x2 checkpoint end-to-end (sigmoid saliency maps at input
-resolution) and report the fastest precision config that still passes the
-parity gate (saliency-map MAE <= 1e-3 vs the reference-model golden), so the
-number is always a *correct* configuration.
+resolution) in bfloat16, gated on parity (saliency-map MAE <= 1e-3 vs the
+reference-model golden) so the number is always a *correct* configuration.
+
+Methodology: this environment reaches the TPU through an RPC tunnel with
+~35 ms round-trip latency, so per-call host timing measures the network, not
+the chip. The benchmark chains K forward passes inside ONE dispatched program
+(lax.scan, each iteration consuming the previous output so nothing folds
+away) and reports device time per batch after subtracting one RPC.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -17,8 +22,16 @@ import os
 import time
 
 import jax
+
+# persistent compile cache: first compile of the scan program is ~5 min on
+# this tunnel; subsequent runs (incl. the driver's) load from disk
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from sod100k_tpu.arch.csnet import csnet_apply
 from sod100k_tpu.arch.layer_config import LayerConfig, init_layers
@@ -28,8 +41,10 @@ BASELINE_IMG_PER_SEC = 2.9
 STEM = "/root/reference/CSNet/checkpoints/csnet-L-x2/csnet-L-x2"
 GOLDEN = os.path.join(os.path.dirname(__file__), "tests", "goldens",
                       "csnet_l_x2_224.npz")
-BATCH = 64
-WARMUP, ITERS = 3, 10
+BATCH = 128
+SCAN_LEN = 20
+RPC_LATENCY_S = 0.035
+REPEATS = 3
 
 
 def _load():
@@ -62,42 +77,44 @@ def _parity_mae(lc, params, dtype) -> float:
     return float(np.abs(got - want).mean())
 
 
-def _throughput(lc, params, dtype) -> float:
+def _device_seconds_per_batch(lc, params, dtype) -> float:
     p = jax.tree.map(lambda a: a.astype(dtype), params)
-    fn = jax.jit(lambda p, v: jax.nn.sigmoid(csnet_apply(p, v, lc, ApplyCtx())))
-    x = jnp.asarray(
+
+    def body(x, _):
+        y = jax.nn.sigmoid(csnet_apply(p, x, lc, ApplyCtx()))
+        # feed the output back so no iteration can be folded away
+        return x + y.mean().astype(x.dtype) * 1e-6, ()
+
+    run = jax.jit(lambda x0: jnp.sum(
+        lax.scan(body, x0, None, length=SCAN_LEN)[0].astype(jnp.float32)))
+    x0 = jnp.asarray(
         np.random.default_rng(1).standard_normal((BATCH, 224, 224, 3),
                                                  dtype=np.float32), dtype)
-    out = fn(p, x)
-    out.block_until_ready()
-    for _ in range(WARMUP):
-        fn(p, x).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(p, x)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    return BATCH * ITERS / dt
+    float(run(x0))  # compile + warm
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(run(x0))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - RPC_LATENCY_S, 1e-9) / SCAN_LEN
 
 
 def main() -> None:
     lc, params = _load()
-    best = None
-    for name, dtype in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
-        mae = _parity_mae(lc, params, dtype)
-        if mae > 1e-3:
-            print(f"# {name}: parity MAE {mae:.2e} FAILS gate, skipped")
-            continue
-        ips = _throughput(lc, params, dtype)
-        print(f"# {name}: parity MAE {mae:.2e}, {ips:.1f} img/s")
-        if best is None or ips > best[1]:
-            best = (name, ips)
-    assert best is not None, "no precision config passed the parity gate"
+    mae_f32 = _parity_mae(lc, params, jnp.float32)
+    mae_bf16 = _parity_mae(lc, params, jnp.bfloat16)
+    dtype, name = (jnp.bfloat16, "bf16") if mae_bf16 <= 1e-3 else (jnp.float32, "f32")
+    mae = mae_bf16 if name == "bf16" else mae_f32
+    assert mae <= 1e-3, f"parity gate failed: MAE {mae}"
+    per_batch = _device_seconds_per_batch(lc, params, dtype)
+    ips = BATCH / per_batch
+    print(f"# parity MAE: f32 {mae_f32:.2e}, bf16 {mae_bf16:.2e}; "
+          f"benchmarking {name} batch {BATCH}: {per_batch * 1e3:.2f} ms/batch")
     print(json.dumps({
-        "metric": f"csnet_l_x2_224_inference_images_per_sec_per_chip[{best[0]}]",
-        "value": round(best[1], 2),
+        "metric": f"csnet_l_x2_224_inference_images_per_sec_per_chip[{name}]",
+        "value": round(ips, 1),
         "unit": "images/sec",
-        "vs_baseline": round(best[1] / BASELINE_IMG_PER_SEC, 2),
+        "vs_baseline": round(ips / BASELINE_IMG_PER_SEC, 1),
     }))
 
 

@@ -67,6 +67,24 @@ def run_test(cfg, log=print) -> dict:
     return {"epoch": epoch, "datasets": results}
 
 
+def run_testall(cfg, log=print) -> list:
+    """TEST.TESTALL protocol: sweep checkpoint_epoch{N} from TEST.BEGIN every
+    TEST.INTERVAL epochs (reference test/eval epoch-range traversal)."""
+    ckpt_dir = os.path.join(cfg.DATA.SAVEDIR, cfg.TASK or cfg.MODEL.ARCH,
+                            "checkpoint")
+    results = []
+    epoch = cfg.TEST.BEGIN
+    while True:
+        path = os.path.join(ckpt_dir, f"checkpoint_epoch{epoch}.pth.tar")
+        if not os.path.isfile(path):
+            break
+        c = cfg.clone()
+        c.TEST.CHECKPOINT = path
+        results.append(run_test(c, log=log))
+        epoch += cfg.TEST.INTERVAL
+    return results
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description="TPU SOD inference (CSNet)")
     parser.add_argument("--config", required=True, metavar="FILE")
@@ -76,6 +94,15 @@ def main() -> None:
     cfg.merge_from_file(args.config)
     if not cfg.TASK:
         cfg.TASK = cfg.MODEL.ARCH
+    if cfg.TEST.TESTALL:
+        runs = run_testall(cfg)
+        if runs and not args.skip_eval:
+            from .eval import run_eval
+
+            lo = min(r["epoch"] for r in runs)
+            hi = max(r["epoch"] for r in runs)
+            run_eval(cfg, epoch_range=(lo, hi + 1))
+        return
     res = run_test(cfg)
     if not args.skip_eval:
         from .eval import run_eval

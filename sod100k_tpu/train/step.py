@@ -41,19 +41,29 @@ def make_train_step(
     flops_expand: float = 2.0,
     batch_size: int,
     donate: bool = True,
+    apply_fn=None,
+    mloss: int = 1,
 ):
     """Build the jitted CSNet train step.
 
     batch: {"image": (N,H,W,3), "target": (N,H,W,1)}; lr and penalty_on are
     traced scalars. Returns (trainable, state, opt_state, metrics).
+    ``apply_fn(params, image, ctx)`` overrides the model; a model returning a
+    list of outputs is summed over the first ``mloss`` heads (LOSS.MLOSS,
+    reference train.py:205-209).
     """
     fw = dynamic_wd.flop_weight_map(lc, flops_expand) if flops_weight else {}
+    apply = apply_fn or (lambda p, x, ctx: csnet_apply(p, x, lc, ctx))
 
     def loss_fn(trainable, state, batch, penalty_on):
         ctx = ApplyCtx(train=True, collect_gap=bool(fw))
         params = merge(trainable, state)
-        logits = csnet_apply(params, batch["image"], lc, ctx)
-        bce = bce_with_logits(logits, batch["target"])
+        out = apply(params, batch["image"], ctx)
+        if isinstance(out, (list, tuple)):
+            bce = sum(bce_with_logits(out[k], batch["target"])
+                      for k in range(mloss))
+        else:
+            bce = bce_with_logits(out, batch["target"])
         loss = bce
         pen = jnp.zeros((), jnp.float32)
         if fw:
