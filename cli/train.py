@@ -45,6 +45,11 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
     if not cfg.AUTO.ENABLE:
         raise SystemExit("Enable AUTO to train CSNet!")  # train.py:82
     lc, params = build_model_from_cfg(cfg, dirs, log)
+    if cfg.DATA.PRETRAIN:
+        from sod100k_tpu.interop.torch_ckpt import load_pretrained
+
+        params = load_pretrained(params, cfg.DATA.PRETRAIN)
+        log(f"partial-loaded pretrained weights from {cfg.DATA.PRETRAIN}")
     trainable, state = partition(params)
 
     if cfg.SOLVER.METHOD == "Adam_dynamic_weight_decay":
@@ -95,6 +100,13 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
         lr = multistep_lr(cfg.SOLVER.LR, cfg.SOLVER.STEPS, epoch) \
             if cfg.SOLVER.ADJUST_STEP else cfg.SOLVER.LR
         log(f"lr: {lr}")
+        if cfg.PRUNE.BNS and cfg.PRUNE.SHOW:
+            # BN-gamma observability for the pruning scheme (foo_bns,
+            # reference train.py:320-330)
+            for path, leaf in jax.tree_util.tree_leaves_with_path(trainable):
+                name = jax.tree_util.keystr(path)
+                if "bns" in name and name.endswith("['scale']"):
+                    log(f"{name}: {np.asarray(leaf)}", display=False)
         penalty_on = jnp.float32(1.0 if epoch < cfg.AUTO.FINETUNE else 0.0)
 
         it = batches(train_ds, cfg.DATA.BATCH_SIZE, shuffle=True,

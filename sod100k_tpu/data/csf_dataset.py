@@ -77,6 +77,35 @@ class CSFTestData:
                 "size": img.shape[:2]}
 
 
+class CSFJointTrainData(CSFTrainData):
+    """Saliency + edge-label variant (reference dataset/joint_dataset.py —
+    unused by the shipped recipes but part of the data surface): .lst lines
+    are "img gt edge"; samples carry an extra {"edge"} stream."""
+
+    def __getitem__(self, idx: int) -> dict:
+        parts = self.pairs[idx]
+        img = _load_image(os.path.join(self.root, parts[0]))
+        gt = _load_label(os.path.join(self.root, parts[1]))
+        edge = _load_label(os.path.join(self.root, parts[2]))
+        if self.rng.integers(2) == 1:
+            img, gt, edge = img[:, ::-1], gt[:, ::-1], edge[:, ::-1]
+        return {"image": img, "target": gt, "edge": edge}
+
+
+CAFFE_BGR_MEAN = np.asarray([104.00699, 116.66877, 122.67892], np.float32)
+
+
+def load_image_caffe(path: str) -> np.ndarray:
+    """Legacy Caffe-style preprocessing (reference dataset/dataset_old.py):
+    BGR order, raw 0-255 range, mean subtraction, no std scaling."""
+    import cv2
+
+    im = cv2.imread(path)
+    if im is None:
+        raise FileNotFoundError(path)
+    return im.astype(np.float32) - CAFFE_BGR_MEAN
+
+
 def _bucket(h: int, w: int, step: int) -> tuple[int, int]:
     return (-(-h // step) * step, -(-w // step) * step)
 

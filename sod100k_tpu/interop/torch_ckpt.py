@@ -118,6 +118,27 @@ def pytree_to_state_dict(params: dict, torch_module=None) -> dict:
     return flat
 
 
+def load_pretrained(params: dict, path: str, dtype=np.float32) -> dict:
+    """Key-intersection partial load (reference utils/utils.py:6-25): leaves
+    present in both trees with matching shapes are taken from the checkpoint,
+    everything else keeps the current value."""
+    loaded, _ = load_checkpoint(path, dtype=dtype)
+
+    def overlay(cur: dict, new: dict) -> dict:
+        out = {}
+        for k, v in cur.items():
+            if k in new and isinstance(v, dict) and isinstance(new[k], dict):
+                out[k] = overlay(v, new[k])
+            elif (k in new and not isinstance(v, dict)
+                  and getattr(new[k], "shape", None) == getattr(v, "shape", None)):
+                out[k] = new[k]
+            else:
+                out[k] = v
+        return out
+
+    return overlay(params, loaded)
+
+
 def load_checkpoint(path: str, dtype=np.float32) -> tuple[dict, dict]:
     """Load a reference .pth.tar; returns (param pytree, metadata dict).
 

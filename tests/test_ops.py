@@ -95,6 +95,7 @@ def test_conv2d_x100_scale():
 
 def test_batchnorm_infer_and_prelu_match_torch():
     c = 9
+    torch.manual_seed(0)  # decouple from other tests' torch RNG usage
     x = RNG.standard_normal((2, c, 6, 7), dtype=np.float32)
     bn = torch.nn.BatchNorm2d(c).eval()
     with torch.no_grad():
@@ -118,6 +119,7 @@ def test_batchnorm_infer_and_prelu_match_torch():
 
 def test_batchnorm_train_matches_torch():
     c = 5
+    torch.manual_seed(1)
     x = RNG.standard_normal((4, c, 6, 7), dtype=np.float32)
     bn = torch.nn.BatchNorm2d(c)
     with torch.no_grad():
@@ -125,11 +127,13 @@ def test_batchnorm_train_matches_torch():
         bn.bias.copy_(torch.randn(c))
         bn.running_mean.copy_(torch.randn(c))
         bn.running_var.copy_(torch.rand(c) + 0.3)
+    # .copy(): jnp.asarray may zero-copy alias the torch-owned numpy views on
+    # CPU, and the train-mode forward below mutates running stats in place
     p = {
-        "scale": jnp.asarray(bn.weight.detach().numpy()),
-        "offset": jnp.asarray(bn.bias.detach().numpy()),
-        "mean": jnp.asarray(bn.running_mean.numpy()),
-        "var": jnp.asarray(bn.running_var.numpy()),
+        "scale": jnp.asarray(bn.weight.detach().numpy().copy()),
+        "offset": jnp.asarray(bn.bias.detach().numpy().copy()),
+        "mean": jnp.asarray(bn.running_mean.numpy().copy()),
+        "var": jnp.asarray(bn.running_var.numpy().copy()),
     }
     want = bn(torch.from_numpy(x)).detach().numpy()  # train mode
     got, stats = batchnorm_train(nhwc(x), p)
@@ -140,6 +144,7 @@ def test_batchnorm_train_matches_torch():
 
 def test_groupnorm_matches_torch():
     c, g = 64, 32
+    torch.manual_seed(2)
     x = RNG.standard_normal((2, c, 6, 7), dtype=np.float32)
     gn = torch.nn.GroupNorm(g, c)
     with torch.no_grad():
