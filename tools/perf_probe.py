@@ -1,0 +1,132 @@
+"""Perf probes: model-component ablations + depthwise-conv layout microbench.
+
+Run on the TPU to map where forward time goes (informs Pallas/fusion work):
+  python tools/perf_probe.py ablate   # full vs no-dw vs nearest-upsample
+  python tools/perf_probe.py dwlayout # depthwise 3x3: NHWC vs W-in-lanes
+"""
+
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+B, K, R = 128, 20, 224
+RPC = 0.035
+
+
+def timeit(tag, run, x0):
+    t0 = time.perf_counter()
+    float(run(x0))
+    c = time.perf_counter() - t0
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(x0))
+        best = min(best, time.perf_counter() - t0)
+    print(f"{tag}: {(best - RPC) / K * 1e3:.2f} ms/batch (compile {c:.0f}s)",
+          flush=True)
+
+
+def scan_run(apply, x0):
+    def body(x, _):
+        y = jax.nn.sigmoid(apply(x))
+        return x + y.mean().astype(x.dtype) * 1e-6, ()
+
+    return jax.jit(lambda v: jnp.sum(
+        lax.scan(body, v, None, length=K)[0].astype(jnp.float32)))
+
+
+def ablate():
+    import sod100k_tpu.arch.csnet as csnet_mod
+    import sod100k_tpu.ops.goct as goct
+    from sod100k_tpu.arch.csnet import csnet_apply
+    from sod100k_tpu.arch.layer_config import LayerConfig
+    from sod100k_tpu.interop.torch_ckpt import load_checkpoint
+    from sod100k_tpu.ops.goct import ApplyCtx
+
+    stem = "/root/reference/CSNet/checkpoints/csnet-L-x2/csnet-L-x2"
+    lc = LayerConfig.load(stem + ".bin")
+    params, _ = load_checkpoint(stem + ".pth.tar")
+    p = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (B, R, R, 3), dtype=np.float32), jnp.bfloat16)
+
+    timeit("full", lambda x: csnet_apply(p, x, lc, ApplyCtx()), x0)
+    # hold x0 fixed; monkeypatch pieces
+    orig_dw = goct.simplified_goct_cbr
+    goct.simplified_goct_cbr = lambda ctx, path, prm, xset, *, split, padding=1: xset
+    csnet_mod.simplified_goct_cbr = goct.simplified_goct_cbr
+    timeit("no-dw-chains", lambda x: csnet_apply(p, x, lc, ApplyCtx()), x0)
+    goct.simplified_goct_cbr = orig_dw
+    csnet_mod.simplified_goct_cbr = orig_dw
+
+    import sod100k_tpu.ops.resample as rs
+    orig_up = rs.upsample_bilinear
+
+    def nearest(x, f):
+        if f == 1:
+            return x
+        return jnp.repeat(jnp.repeat(x, f, axis=1), f, axis=2)
+
+    rs.upsample_bilinear = nearest
+    goct.upsample_bilinear = nearest
+    timeit("nearest-upsample", lambda x: csnet_apply(p, x, lc, ApplyCtx()), x0)
+    rs.upsample_bilinear = orig_up
+    goct.upsample_bilinear = orig_up
+
+
+def dwlayout():
+    C, H, W = 24, 224, 224
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((3, 3, 1, C), dtype=np.float32), jnp.bfloat16)
+    x_nhwc = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32), jnp.bfloat16)
+    x_nchw = jnp.transpose(x_nhwc, (0, 3, 1, 2))
+    w_oihw = jnp.transpose(w, (3, 2, 0, 1))
+
+    def dw_nhwc(x):
+        dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        return lax.conv_general_dilated(x, w, (1, 1), [(1, 1), (1, 1)],
+                                        dimension_numbers=dn,
+                                        feature_group_count=C,
+                                        preferred_element_type=jnp.float32
+                                        ).astype(x.dtype)
+
+    def dw_nchw(x):
+        dn = lax.conv_dimension_numbers(x.shape, w_oihw.shape,
+                                        ("NCHW", "OIHW", "NCHW"))
+        return lax.conv_general_dilated(x, w_oihw, (1, 1), [(1, 1), (1, 1)],
+                                        dimension_numbers=dn,
+                                        feature_group_count=C,
+                                        preferred_element_type=jnp.float32
+                                        ).astype(x.dtype)
+
+    def dw_shift(x):  # NCHW via 9 shifted adds on (H, W) planes (VPU-native)
+        xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+        out = jnp.zeros_like(x, dtype=jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                tap = w_oihw[:, 0, dy, dx].reshape(1, C, 1, 1).astype(jnp.float32)
+                out = out + xp[:, :, dy:dy + H, dx:dx + W].astype(jnp.float32) * tap
+        return out.astype(x.dtype)
+
+    for tag, fn, x in [("dw NHWC (C lanes)", dw_nhwc, x_nhwc),
+                       ("dw NCHW (W lanes)", dw_nchw, x_nchw),
+                       ("dw shift-FMA NCHW", dw_shift, x_nchw)]:
+        def body(v, _):
+            y = fn(v)
+            return v + y.mean().astype(v.dtype) * 1e-6, ()
+
+        run = jax.jit(lambda v, body=body: jnp.sum(
+            lax.scan(body, v, None, length=K)[0].astype(jnp.float32)))
+        timeit(tag, run, x)
+
+
+if __name__ == "__main__":
+    {"ablate": ablate, "dwlayout": dwlayout}[sys.argv[1]]()
