@@ -143,6 +143,11 @@ def _ilblock_apply(ctx, path, p, entry: Entry, plan, xset):
         in_split=entry.in_split, out_split=entry.out_split,
         stride=plan.stride, padding=plan.padding,
     )
+    if ctx.pallas and not ctx.train and not ctx.collect_gap:
+        from ..ops.pallas.dw_chain import dw_tail_fused
+
+        return dw_tail_fused(p["conv3x3_1"], p["conv3x3_2"], y,
+                             entry.out_split)
     y = simplified_goct_cbr(ctx, f"{path}.conv3x3_1", p["conv3x3_1"], y,
                             split=entry.out_split)
     y = simplified_goct_cbr(ctx, f"{path}.conv3x3_2", p["conv3x3_2"], y,

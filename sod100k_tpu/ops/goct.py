@@ -57,6 +57,9 @@ class ApplyCtx:
 
     train: bool = False
     collect_gap: bool = False
+    # route ILBlock depthwise tails through the fused Pallas kernel
+    # (inference only; see ops/pallas/dw_chain.py for the measured tradeoff)
+    pallas: bool = False
     bn_stats: dict = dataclasses.field(default_factory=dict)
     gap: dict = dataclasses.field(default_factory=dict)
 
