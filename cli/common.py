@@ -60,7 +60,12 @@ def resolve_dirs(cfg) -> dict:
 def build_model_from_cfg(cfg, dirs: dict, log=print):
     """Reference build_model flow (csnet.py:882-947): predefined pickled arch
     or a fresh init_layers seed with basewidth 20 * AUTO.EXPAND; saves
-    layer_config_0.bin (+ _latest) and the epoch-0 init snapshot."""
+    layer_config_0.bin (+ _latest) and the epoch-0 init snapshot. MODEL.ARCH
+    resolves through the architecture registry (the reference's importlib
+    dispatch, train.py:70)."""
+    from sod100k_tpu.arch import get_arch
+
+    arch = get_arch(cfg.MODEL.ARCH)
     if cfg.AUTO.PREDEFINE and os.path.isfile(cfg.AUTO.PREDEFINE):
         log("predefine.")
         lc = LayerConfig.load(cfg.AUTO.PREDEFINE)
@@ -73,7 +78,7 @@ def build_model_from_cfg(cfg, dirs: dict, log=print):
     lc.save(os.path.join(dirs["layer_configs"], "layer_config_0.bin"))
     lc.save(os.path.join(dirs["layer_configs"], "layer_config_latest.bin"))
 
-    params = csnet_init(jax.random.key(cfg.TPU.SEED), lc)
+    params = arch.init(jax.random.key(cfg.TPU.SEED), lc)
     save_torch_checkpoint(
         os.path.join(dirs["checkpoint"], "checkpoint_init.pth.tar"),
         params, epoch=-1, arch="CSNet",

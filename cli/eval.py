@@ -113,6 +113,8 @@ def run_eval(cfg, epoch_range=(0, 1), method: str | None = None,
                        else evaluate_pairs_device(pairs))
                 report = (f"epoch {epoch} {ds}: MaxF {res['max_f']:.6f} "
                           f"MAE {res['mae']:.6f} MeanF {res['mean_f']:.6f}")
+                if "max_e" in res:
+                    report += f" MaxE {res['max_e']:.6f}"
                 if "s_measure" in res:
                     report += f" S {res['s_measure']:.6f}"
                 log(report)

@@ -125,6 +125,7 @@ def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
             merge(jax.tree.map(np.asarray, trainable),
                   jax.tree.map(np.asarray, state)),
             epoch=epoch + 1, arch=cfg.MODEL.ARCH,
+            opt_state=opt_state,
         )
     return {"best_mae": best_mae, "best_epoch": best_epoch, "lc": lc,
             "ft_dir": ft_dir}

@@ -40,7 +40,7 @@ def run_test(cfg, log=print) -> dict:
     log("  + Number of params: %.4fM" % (count_params(params) / 1e6))
     dtype = jnp.bfloat16 if cfg.TPU.DTYPE == "bfloat16" else jnp.float32
     params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
-    eval_step = make_eval_step(lc)
+    eval_step = make_eval_step(lc, pallas=cfg.TPU.PALLAS_DW)
 
     task = cfg.TASK or cfg.MODEL.ARCH
     results = {}

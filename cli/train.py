@@ -54,7 +54,8 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
 
     if cfg.SOLVER.METHOD == "Adam_dynamic_weight_decay":
         log("Setting wd of bn in ILBlock to 0.")
-        tx = make_adam_dwd(trainable, weight_decay=cfg.SOLVER.WEIGHT_DECAY)
+        tx = make_adam_dwd(trainable, weight_decay=cfg.SOLVER.WEIGHT_DECAY,
+                           decay_conv3x3_2=cfg.TPU.WD_QUIRK)
     else:
         tx = make_adam(weight_decay=cfg.SOLVER.WEIGHT_DECAY)
     opt_state = tx.init(trainable)
@@ -141,6 +142,7 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
             merge(jax.tree.map(np.asarray, trainable),
                   jax.tree.map(np.asarray, state)),
             epoch=epoch + 1, arch=cfg.MODEL.ARCH,
+            opt_state=opt_state,
         )
     return {"best_mae": best_mae, "best_epoch": best_epoch, "history": history,
             "lc": lc, "dirs": dirs}

@@ -108,6 +108,13 @@ _C.TPU.DTYPE = "float32"          # "bfloat16" for the fast inference path
 _C.TPU.MESH_DEVICES = 0           # 0 = all visible devices, else first N
 _C.TPU.EVAL_BACKEND = "device"    # "device" (JAX) | "native" (C++ CLI)
 _C.TPU.SEED = 0
+# the reference exempts conv1x1/conv3x3_1 BN gammas from weight decay but
+# (apparently by typo) not conv3x3_2's (train.py:102-104); True reproduces
+# the quirk, False exempts conv3x3_2 too
+_C.TPU.WD_QUIRK = True
+# route ILBlock depthwise tails through the fused Pallas kernel at inference
+# (see ops/pallas/dw_chain.py for the measured tradeoff on v5e)
+_C.TPU.PALLAS_DW = False
 
 
 def get_cfg() -> CN:

@@ -65,7 +65,35 @@ def _per_image_stats(sal: jax.Array, gt: jax.Array, mask: jax.Array):
 
     precision = (ab + EPSILON) / (a_sum + EPSILON)
     recall = (ab + EPSILON) / (b_sum[:, None] + EPSILON)
-    return mae, precision, recall
+    emeasure = _e_measure_from_counts(ab, a_sum, b_sum[:, None], npix[:, None])
+    return mae, precision, recall, emeasure
+
+
+def _e_measure_from_counts(tp, a, b, n):
+    """Enhanced-alignment measure (E-measure, Fan et al. IJCAI'18) per
+    threshold, in closed form over confusion counts.
+
+    For binary FM/GT the bias-corrected maps take two values each, so the
+    alignment matrix phi = 2*dF*dG / (dF^2 + dG^2) takes four values weighted
+    by (TP, FP, FN, TN) — the full spatial computation collapses onto the
+    histogram counts already gathered for precision/recall.
+    """
+    eps = 1e-12
+    mu_f = a / n
+    mu_g = b / n
+    fp = a - tp
+    fn = b - tp
+    tn = n - a - b + tp
+
+    def enhanced(df, dg):
+        align = 2.0 * df * dg / (df * df + dg * dg + eps)
+        return jnp.square(align + 1.0) / 4.0
+
+    e_sum = (tp * enhanced(1 - mu_f, 1 - mu_g)
+             + fp * enhanced(1 - mu_f, -mu_g)
+             + fn * enhanced(-mu_f, 1 - mu_g)
+             + tn * enhanced(-mu_f, -mu_g))
+    return e_sum / n
 
 
 class SalMetricAccumulator:
@@ -76,6 +104,7 @@ class SalMetricAccumulator:
         self.mae = 0.0
         self.precision = np.zeros(THRESHOLDS, np.float64)
         self.recall = np.zeros(THRESHOLDS, np.float64)
+        self.emeasure = np.zeros(THRESHOLDS, np.float64)
 
     def update_batch(self, sal: np.ndarray, gt: np.ndarray,
                      mask: np.ndarray | None = None, count: int | None = None):
@@ -83,7 +112,7 @@ class SalMetricAccumulator:
         valid images (trailing padded images ignored)."""
         if mask is None:
             mask = np.ones(sal.shape, np.float32)
-        mae, pre, rec = _per_image_stats(
+        mae, pre, rec, em = _per_image_stats(
             jnp.asarray(sal), jnp.asarray(gt), jnp.asarray(mask)
         )
         k = sal.shape[0] if count is None else count
@@ -91,6 +120,7 @@ class SalMetricAccumulator:
         self.mae += float(jnp.sum(mae[:k]))
         self.precision += np.asarray(jnp.sum(pre[:k], axis=0), np.float64)
         self.recall += np.asarray(jnp.sum(rec[:k], axis=0), np.float64)
+        self.emeasure += np.asarray(jnp.sum(em[:k], axis=0), np.float64)
 
     def result(self) -> dict:
         assert self.n > 0, "no images accumulated"
@@ -104,6 +134,7 @@ class SalMetricAccumulator:
             if f[th] > fmax:
                 fmax = float(f[th])
                 argmax = th
+        e = self.emeasure / self.n
         return {
             "mae": self.mae / self.n,
             "precision": p,
@@ -116,6 +147,9 @@ class SalMetricAccumulator:
             "recall_at_max": float(r[argmax]),
             "mean_precision": float(p.mean()),
             "mean_recall": float(r.mean()),
+            "emeasure": e,
+            "max_e": float(e.max()),
+            "mean_e": float(e.mean()),
         }
 
 

@@ -86,12 +86,12 @@ def make_train_step(
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
-def make_eval_step(lc: LayerConfig):
+def make_eval_step(lc: LayerConfig, *, pallas: bool = False):
     """Jitted inference step: image batch -> sigmoid saliency maps (N,H,W,1)."""
 
     @jax.jit
     def step(params, image):
-        logits = csnet_apply(params, image, lc, ApplyCtx())
+        logits = csnet_apply(params, image, lc, ApplyCtx(pallas=pallas))
         return jax.nn.sigmoid(logits)
 
     return step

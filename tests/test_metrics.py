@@ -152,6 +152,29 @@ def test_native_salmetric_matches_brute_force(tmp_path):
     assert float(tail[6].split()[1]) == pytest.approx(want["mae"], abs=1e-5)
 
 
+def test_e_measure_matches_spatial_definition():
+    """Closed-form E over confusion counts == the direct spatial computation
+    of the enhanced-alignment measure on binarized maps."""
+    sals, gts = _synthetic(n=3, hw=(29, 31))
+
+    def direct_e(sal, gt, th):
+        fm = (sal.astype(np.float64) > th).astype(np.float64)
+        g = (gt.astype(np.float64) > 128).astype(np.float64)
+        dfm = fm - fm.mean()
+        dg = g - g.mean()
+        align = 2 * dfm * dg / (dfm**2 + dg**2 + 1e-12)
+        return (((align + 1) ** 2) / 4).mean()
+
+    acc = SalMetricAccumulator()
+    for s, g in zip(sals, gts):
+        acc.update_batch(s[None].astype(np.float32), g[None].astype(np.float32))
+    res = acc.result()
+    for th in (0, 64, 128, 200, 255):
+        want = np.mean([direct_e(s, g, th) for s, g in zip(sals, gts)])
+        assert res["emeasure"][th] == pytest.approx(want, rel=1e-5)
+    assert 0.0 < res["mean_e"] <= res["max_e"] <= 1.0
+
+
 def test_s_measure_sanity():
     from sod100k_tpu.metrics.smeasure import s_measure
 
