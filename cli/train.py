@@ -80,6 +80,8 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
         flops_weight=cfg.AUTO.FLOPS.WEIGHT if flops_on else 0.0,
         flops_expand=flops_expand,
         batch_size=cfg.DATA.BATCH_SIZE,
+        mloss=cfg.LOSS.MLOSS,
+        compute_dtype=jnp.bfloat16 if cfg.TPU.DTYPE == "bfloat16" else None,
     )
     eval_step = make_eval_step(lc)
 

@@ -42,9 +42,13 @@ def conv2d(
         dilation = (dilation, dilation)
     w = weight if weight_scale == 1.0 else weight * jnp.asarray(weight_scale, weight.dtype)
     dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
-    # float32 inputs use full-precision MXU passes (parity with the reference);
-    # bfloat16 inputs take the fast single-pass path with f32 accumulation.
-    precision = lax.Precision.HIGHEST if x.dtype == jnp.float32 else lax.Precision.DEFAULT
+    # float32 inputs use full-precision MXU passes (parity with the reference).
+    # bfloat16 inputs take the single-pass path: the TPU MXU accumulates bf16
+    # products in f32 internally, and leaving the output dtype native keeps
+    # the autodiff transpose dtypes consistent (an explicit f32
+    # preferred_element_type + downcast breaks grad-of-conv under mixed
+    # precision).
+    f32 = x.dtype == jnp.float32
     y = lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
@@ -53,8 +57,8 @@ def conv2d(
         rhs_dilation=dilation,
         dimension_numbers=dn,
         feature_group_count=groups,
-        precision=precision,
-        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST if f32 else lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32 if f32 else None,
     )
     y = y.astype(x.dtype)
     if bias is not None:

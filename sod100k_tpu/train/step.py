@@ -43,6 +43,7 @@ def make_train_step(
     donate: bool = True,
     apply_fn=None,
     mloss: int = 1,
+    compute_dtype=None,
 ):
     """Build the jitted CSNet train step.
 
@@ -50,7 +51,9 @@ def make_train_step(
     traced scalars. Returns (trainable, state, opt_state, metrics).
     ``apply_fn(params, image, ctx)`` overrides the model; a model returning a
     list of outputs is summed over the first ``mloss`` heads (LOSS.MLOSS,
-    reference train.py:205-209).
+    reference train.py:205-209). ``compute_dtype=jnp.bfloat16`` runs the
+    forward/backward in mixed precision (activations bf16 with f32
+    accumulation; params, BN stats, loss and optimizer state stay f32).
     """
     fw = dynamic_wd.flop_weight_map(lc, flops_expand) if flops_weight else {}
     apply = apply_fn or (lambda p, x, ctx: csnet_apply(p, x, lc, ctx))
@@ -58,7 +61,10 @@ def make_train_step(
     def loss_fn(trainable, state, batch, penalty_on):
         ctx = ApplyCtx(train=True, collect_gap=bool(fw))
         params = merge(trainable, state)
-        out = apply(params, batch["image"], ctx)
+        image = batch["image"]
+        if compute_dtype is not None:
+            image = image.astype(compute_dtype)
+        out = apply(params, image, ctx)
         if isinstance(out, (list, tuple)):
             bce = sum(bce_with_logits(out[k], batch["target"])
                       for k in range(mloss))
