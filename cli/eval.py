@@ -119,8 +119,6 @@ def run_eval(cfg, epoch_range=(0, 1), method: str | None = None,
                     report += f" S {res['s_measure']:.6f}"
                 log(report)
                 flog.write(report + "\n")
-                if "precision" in res and "fmeasure" not in res:
-                    pass
                 with open(os.path.join(out_dir,
                                        f"FmeasureResult_{ds}_{epoch}.txt"),
                           "w") as f:

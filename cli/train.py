@@ -146,6 +146,13 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
             epoch=epoch + 1, arch=cfg.MODEL.ARCH,
             opt_state=opt_state,
         )
+        if cfg.TPU.ORBAX:
+            from sod100k_tpu.train.checkpoint import save_native
+
+            save_native(
+                os.path.join(dirs["checkpoint"], f"orbax_epoch{epoch + 1}"),
+                trainable, state, opt_state, epoch + 1,
+            )
     return {"best_mae": best_mae, "best_epoch": best_epoch, "history": history,
             "lc": lc, "dirs": dirs}
 

@@ -115,6 +115,9 @@ _C.TPU.WD_QUIRK = True
 # route ILBlock depthwise tails through the fused Pallas kernel at inference
 # (see ops/pallas/dw_chain.py for the measured tradeoff on v5e)
 _C.TPU.PALLAS_DW = False
+# additionally write native Orbax checkpoints (fast sharded save/restore)
+# next to the reference-format .pth.tar files
+_C.TPU.ORBAX = False
 
 
 def get_cfg() -> CN:

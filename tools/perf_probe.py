@@ -5,8 +5,11 @@ Run on the TPU to map where forward time goes (informs Pallas/fusion work):
   python tools/perf_probe.py dwlayout # depthwise 3x3: NHWC vs W-in-lanes
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
