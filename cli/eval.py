@@ -71,8 +71,8 @@ def evaluate_pairs_device(pairs, batch: int = 32, with_smeasure: bool = True) ->
                 m[j, :h, :w] = 1
             acc.update_batch(sal_p, gt_p, mask=m)
             if with_smeasure:
-                sm = np.asarray(s_measure_batch(sal_p / 255.0,
-                                                (gt_p > 128).astype(np.float32)))
+                sm = np.asarray(s_measure_batch(
+                    sal_p / 255.0, (gt_p > 128).astype(np.float32), m))
                 s_sum += float(sm.sum())
                 s_n += n
     res = acc.result()

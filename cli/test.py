@@ -43,24 +43,45 @@ def run_test(cfg, log=print) -> dict:
     eval_step = make_eval_step(lc, pallas=cfg.TPU.PALLAS_DW)
 
     task = cfg.TASK or cfg.MODEL.ARCH
+    # fixed-size configs batch images for one dispatch per DATA.BATCH_SIZE
+    # (per-image dispatch is dominated by host<->device latency); the
+    # ceil-to-16 native-size mode stays per-image like the reference
+    fixed = cfg.TEST.IMAGE_H != 0 and cfg.TEST.IMAGE_W != 0
+    batch_size = max(cfg.DATA.BATCH_SIZE, 1) if fixed else 1
     results = {}
+    from concurrent.futures import ThreadPoolExecutor
+
     for dataset in cfg.TEST.DATASETS:
         sal_dir = os.path.join(cfg.DATA.SAVEDIR, task, f"{dataset}_{epoch}")
         os.makedirs(sal_dir, exist_ok=True)
         img_dir = os.path.join(cfg.TEST.DATASET_PATH, dataset, "images")
         names = sorted(os.listdir(img_dir))
         t0 = time.time()
-        for name in names:
-            x, (h, w) = preprocess_test_image(
+
+        def load(name):
+            return preprocess_test_image(
                 os.path.join(img_dir, name),
-                (cfg.TEST.IMAGE_H, cfg.TEST.IMAGE_W),
-            )
-            pred = np.asarray(
-                eval_step(params, jnp.asarray(x, dtype)).astype(jnp.float32)
-            )[0, ..., 0]
-            out = (resize_bilinear_np(pred, (h, w)) * 255).astype(np.uint8)
-            cv2.imwrite(os.path.join(sal_dir, os.path.splitext(name)[0] + ".png"),
-                        out)
+                (cfg.TEST.IMAGE_H, cfg.TEST.IMAGE_W))
+
+        with ThreadPoolExecutor(max_workers=max(cfg.DATA.WORKERS, 1)) as pool:
+            for b0 in range(0, len(names), batch_size):
+                chunk = names[b0:b0 + batch_size]
+                loaded = list(pool.map(load, chunk))
+                if batch_size > 1:
+                    # pad the trailing partial batch to keep one compiled shape
+                    stack = [l[0] for l in loaded]
+                    stack += [stack[-1]] * (batch_size - len(stack))
+                    x = jnp.asarray(np.concatenate(stack), dtype)
+                    preds = np.asarray(eval_step(params, x).astype(jnp.float32))
+                else:
+                    preds = np.asarray(eval_step(
+                        params, jnp.asarray(loaded[0][0], dtype)
+                    ).astype(jnp.float32))
+                for name, (_, (h, w)), pred in zip(chunk, loaded, preds):
+                    out = (resize_bilinear_np(pred[..., 0], (h, w)) * 255
+                           ).astype(np.uint8)
+                    cv2.imwrite(os.path.join(
+                        sal_dir, os.path.splitext(name)[0] + ".png"), out)
         dt = time.time() - t0
         log(f"Dataset: {dataset}, {len(names)} images, {len(names) / dt:.2f} img/s")
         results[dataset] = {"n": len(names), "sal_dir": sal_dir}

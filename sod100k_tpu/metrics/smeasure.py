@@ -14,9 +14,10 @@ S_object: per fg/bg region x of sal (or 1-sal),
 S_region: image split into 4 quadrants at the (rounded) gt centroid; per
 quadrant the paper's SSIM variant with area weights.
 
-The dynamic centroid split is expressed with broadcasted-iota masks, so every
-statistic is a masked reduction over a fixed-shape array — one compiled
-kernel regardless of centroid position, no data-dependent shapes.
+Every statistic is a masked reduction over a fixed-shape array — the dynamic
+centroid split uses broadcasted-iota masks, and an optional validity mask
+supports padded batches exactly (padding contributes to nothing, including
+quadrant areas), so arbitrary image sizes compile to one kernel per bucket.
 """
 
 from __future__ import annotations
@@ -46,10 +47,10 @@ def _object_score(x, region):
     return 2.0 * mean / (jnp.square(mean) + 1.0 + std + EPS)
 
 
-def _s_object(sal, gt):
-    mu = jnp.mean(gt)
-    o_fg = _object_score(sal, gt)
-    o_bg = _object_score(1.0 - sal, 1.0 - gt)
+def _s_object(sal, gt, valid):
+    mu = _masked_mean(gt, valid)
+    o_fg = _object_score(sal, gt * valid)
+    o_bg = _object_score(1.0 - sal, (1.0 - gt) * valid)
     return mu * o_fg + (1.0 - mu) * o_bg
 
 
@@ -69,43 +70,52 @@ def _ssim_paper(sal, gt, m):
     )
 
 
-def _s_region(sal, gt):
+def _s_region(sal, gt, valid):
     h, w = gt.shape
     rows = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    total = jnp.maximum(jnp.sum(gt), EPS)
+    gtv = gt * valid
+    total = jnp.maximum(jnp.sum(gtv), EPS)
+    # valid-image extent (padding sits at high indices)
+    vh = jnp.maximum(jnp.max(rows * valid), 1.0) + 1.0
+    vw = jnp.maximum(jnp.max(cols * valid), 1.0) + 1.0
     # centroid, rounded like the reference implementation
-    cy = jnp.round(jnp.sum(rows * gt) / total) + 1.0
-    cx = jnp.round(jnp.sum(cols * gt) / total) + 1.0
-    cy = jnp.where(jnp.sum(gt) == 0, jnp.round(h / 2.0), cy)
-    cx = jnp.where(jnp.sum(gt) == 0, jnp.round(w / 2.0), cx)
+    cy = jnp.round(jnp.sum(rows * gtv) / total) + 1.0
+    cx = jnp.round(jnp.sum(cols * gtv) / total) + 1.0
+    cy = jnp.where(jnp.sum(gtv) == 0, jnp.round(vh / 2.0), cy)
+    cx = jnp.where(jnp.sum(gtv) == 0, jnp.round(vw / 2.0), cx)
 
     top = rows < cy
     left = cols < cx
-    quads = [
-        (top & left), (top & ~left), (~top & left), (~top & ~left),
-    ]
-    area = float(h * w)
+    quads = [(top & left), (top & ~left), (~top & left), (~top & ~left)]
+    area = jnp.maximum(jnp.sum(valid), 1.0)
     score = jnp.zeros((), jnp.float32)
     for q in quads:
-        m = q.astype(jnp.float32)
+        m = q.astype(jnp.float32) * valid
         wgt = jnp.sum(m) / area
-        score = score + wgt * _ssim_paper(sal, gt, m)
+        score = score + wgt * _ssim_paper(sal, gtv, m)
     return score
 
 
 @jax.jit
-def s_measure(sal: jax.Array, gt: jax.Array) -> jax.Array:
-    """sal in [0,1] float, gt binary {0,1} float, both (H, W)."""
+def s_measure(sal: jax.Array, gt: jax.Array,
+              valid: jax.Array | None = None) -> jax.Array:
+    """sal in [0,1] float, gt binary {0,1} float, both (H, W); optional
+    validity mask for padded inputs (same shape)."""
     sal = sal.astype(jnp.float32)
     gt = (gt > 0.5).astype(jnp.float32)
-    mu = jnp.mean(gt)
-    s = ALPHA * _s_object(sal, gt) + (1 - ALPHA) * _s_region(sal, gt)
-    s = jnp.where(mu == 0.0, 1.0 - jnp.mean(sal), jnp.where(mu == 1.0, jnp.mean(sal), s))
+    v = jnp.ones_like(gt) if valid is None else valid.astype(jnp.float32)
+    mu = _masked_mean(gt, v)
+    s = ALPHA * _s_object(sal, gt, v) + (1 - ALPHA) * _s_region(sal, gt, v)
+    mean_sal = _masked_mean(sal, v)
+    s = jnp.where(mu == 0.0, 1.0 - mean_sal, jnp.where(mu == 1.0, mean_sal, s))
     return jnp.maximum(s, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=())
-def s_measure_batch(sal: jax.Array, gt: jax.Array) -> jax.Array:
-    """Batched S-measure over (B, H, W) arrays (uniform size)."""
-    return jax.vmap(s_measure)(sal, gt)
+def s_measure_batch(sal: jax.Array, gt: jax.Array,
+                    valid: jax.Array | None = None) -> jax.Array:
+    """Batched S-measure over (B, H, W) arrays (padded batches via valid)."""
+    if valid is None:
+        return jax.vmap(lambda s, g: s_measure(s, g))(sal, gt)
+    return jax.vmap(s_measure)(sal, gt, valid)

@@ -191,3 +191,22 @@ def test_s_measure_sanity():
     empty = np.zeros_like(gt)
     assert float(s_measure(np.zeros_like(gt), empty)) == pytest.approx(1.0)
     assert float(s_measure(np.ones_like(gt), empty)) == pytest.approx(0.0)
+
+
+def test_s_measure_mask_equals_native_size():
+    """Padded inputs with a validity mask must score identically to the
+    unpadded image (the masked statistics ignore the padding entirely)."""
+    from sod100k_tpu.metrics.smeasure import s_measure
+
+    rng = np.random.default_rng(5)
+    h, w = 23, 31
+    gt = (rng.random((h, w)) > 0.6).astype(np.float32)
+    sal = rng.random((h, w)).astype(np.float32)
+    want = float(s_measure(sal, gt))
+    H, W = 32, 48
+    sal_p = np.zeros((H, W), np.float32)
+    gt_p = np.zeros((H, W), np.float32)
+    m = np.zeros((H, W), np.float32)
+    sal_p[:h, :w], gt_p[:h, :w], m[:h, :w] = sal, gt, 1.0
+    got = float(s_measure(sal_p, gt_p, m))
+    assert got == pytest.approx(want, abs=1e-5)
