@@ -36,9 +36,18 @@ def get_arch(name: str) -> ArchEntry:
 
 
 def _register_builtin() -> None:
+    from .csf_res2net import csf_apply, csf_init
     from .csnet import csnet_apply, csnet_init
 
     register_arch("csnet", csnet_init, csnet_apply)
+    # CSF models ignore the layer_config argument (fixed backbone widths)
+    for backbone in ("res2net50", "res2net101"):
+        register_arch(
+            f"csf_{backbone}",
+            lambda key, lc=None, _b=backbone: csf_init(key, backbone=_b),
+            lambda params, x, lc=None, ctx=None, _b=backbone: csf_apply(
+                params, x, backbone=_b, ctx=ctx),
+        )
 
 
 _register_builtin()
