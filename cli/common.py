@@ -97,11 +97,14 @@ def build_model_from_cfg(cfg, dirs: dict, log=print):
 
 
 def save_torch_checkpoint(path: str, params, epoch: int, arch: str,
-                          opt_state=None) -> None:
+                          opt_state=None, rename=None) -> None:
     import torch
 
     sd = {k: torch.from_numpy(np.array(v)) for k, v in
           pytree_to_state_dict(jax.tree.map(np.asarray, params)).items()}
+    for old, new in (rename or {}).items():
+        if old in sd:
+            sd[new] = sd.pop(old)
     payload = {"epoch": epoch, "arch": arch, "state_dict": sd}
     if opt_state is not None:
         payload["optimizer"] = jax.tree.map(np.asarray, opt_state)

@@ -45,6 +45,10 @@ from sod100k_tpu.train.params import merge
 from .common import save_torch_checkpoint
 
 LR_DECAY_EPOCH = (15,)  # solver.py:24
+# the reference CSF gOctConv names its dense weight `weights` (gOctConv.py:21);
+# rename on save so reference tooling loads our checkpoints strictly
+CSF_SAVE_RENAME = {"fuse.conv.weight": "fuse.conv.weights",
+                   "fuse1x1.conv.weight": "fuse1x1.conv.weights"}
 
 
 def get_test_info(sal_mode: str = "e") -> tuple[str, str]:
@@ -115,7 +119,8 @@ def run_csf_train(config, log=print) -> dict:
                 os.path.join(save_folder, "models", f"epoch_{epoch + 1}.pth"),
                 merge(jax.tree.map(np.asarray, trainable),
                       jax.tree.map(np.asarray, state)),
-                epoch=epoch + 1, arch=f"csf_{config.arch}")
+                epoch=epoch + 1, arch=f"csf_{config.arch}",
+                rename=CSF_SAVE_RENAME)
         if epoch in LR_DECAY_EPOCH:
             lr = lr * 0.1
             opt_state = tx.init(trainable)  # reference re-creates Adam
@@ -124,7 +129,8 @@ def run_csf_train(config, log=print) -> dict:
         os.path.join(save_folder, "models", "final.pth"),
         merge(jax.tree.map(np.asarray, trainable),
               jax.tree.map(np.asarray, state)),
-        epoch=config.epoch, arch=f"csf_{config.arch}")
+        epoch=config.epoch, arch=f"csf_{config.arch}",
+        rename=CSF_SAVE_RENAME)
     return {"save_folder": save_folder, "losses": losses}
 
 

@@ -218,8 +218,9 @@ def device_prefetch(it: Iterator[dict], *, mesh=None, depth: int = 2) -> Iterato
                           for k, v in batch.items() if isinstance(v, np.ndarray)}
                 rest = {k: v for k, v in batch.items() if not isinstance(v, np.ndarray)}
                 q.put({**arrays, **rest})
-        finally:
             q.put(stop)
+        except BaseException as e:  # surface producer failures to the consumer
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -227,4 +228,6 @@ def device_prefetch(it: Iterator[dict], *, mesh=None, depth: int = 2) -> Iterato
         item = q.get()
         if item is stop:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item
