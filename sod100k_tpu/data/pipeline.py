@@ -31,7 +31,9 @@ IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
 def _imread_rgb(path: str) -> np.ndarray:
-    """Read image as float64 RGB in [0,1] (skimage img_as_float semantics)."""
+    """Read image as float32 RGB in [0,1] (skimage img_as_float semantics;
+    float32 instead of float64 — identical to ~1e-7 and half the host
+    bandwidth, which is the end-to-end bottleneck on this machine)."""
     import cv2
 
     img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
@@ -42,7 +44,7 @@ def _imread_rgb(path: str) -> np.ndarray:
     elif img.shape[2] == 4:
         img = img[:, :, :3]
     img = img[:, :, ::-1]  # BGR -> RGB
-    return img.astype(np.float64) / 255.0
+    return img.astype(np.float32) / np.float32(255.0)
 
 
 def _imread_gray(path: str) -> np.ndarray:
@@ -51,7 +53,7 @@ def _imread_gray(path: str) -> np.ndarray:
     g = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
     if g is None:
         raise FileNotFoundError(path)
-    return g.astype(np.float64) / 255.0
+    return g.astype(np.float32) / np.float32(255.0)
 
 
 def resize_bilinear_np(img: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
