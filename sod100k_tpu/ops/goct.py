@@ -17,6 +17,9 @@ supported via ``flavor``:
 - "csf" (/root/reference/CSF+Res2Net/networks/gOctConv.py:60-114):
   coarse->fine = conv then bilinear-resize to the *input set's* branch-j shape;
   fine->coarse = bilinear-resize input to branch-j shape, then conv.
+  (The CSF file also carries a learned per-branch balance-weight path gated
+  by a hardcoded USE_BALANCE=False, gOctConv.py:9,46-50,67-68,92-94 — dead
+  code in every shipped recipe, deliberately not reproduced.)
 
 Parameter dicts mirror the reference's module naming so checkpoint interop is
 a pure key mapping (see interop/torch_ckpt.py). Convolutions marked x100 carry
