@@ -69,10 +69,18 @@ def cfg(synth_root, tmp_path_factory):
     return c
 
 
-def test_cli_train(cfg):
+@pytest.fixture(scope="module")
+def trained(cfg):
+    """Train once per module; downstream driver tests reuse the artifacts
+    (they exercise the same checkpoint/layer_config files a real run
+    produces)."""
     from cli.train import run_training
 
-    out = run_training(cfg, max_epochs=2, log=lambda *a, **k: None)
+    return run_training(cfg, max_epochs=2, log=lambda *a, **k: None)
+
+
+def test_cli_train(cfg, trained):
+    out = trained
     assert out["best_epoch"] >= 1
     assert np.isfinite(out["best_mae"])
     ckpt = os.path.join(cfg.DATA.SAVEDIR, "synth", "checkpoint",
@@ -87,7 +95,7 @@ def test_cli_train(cfg):
     assert ck["epoch"] == 2 and "state_dict" in ck
 
 
-def test_cli_finetune_after_train(cfg):
+def test_cli_finetune_after_train(cfg, trained):
     from cli.finetune import run_finetune
 
     out = run_finetune(cfg, from_epoch=2, max_epochs=1,
@@ -97,7 +105,7 @@ def test_cli_finetune_after_train(cfg):
     assert np.isfinite(out["best_mae"])
 
 
-def test_cli_test_and_eval(cfg):
+def test_cli_test_and_eval(cfg, trained):
     from cli.eval import run_eval
     from cli.test import run_test
 

@@ -21,6 +21,34 @@ def test_csf_forward_shape():
     assert y.shape == (1, 64, 64, 1)
 
 
+def test_load_res2net_backbone_from_torch_checkpoint(tmp_path):
+    """An ImageNet-style res2net torch checkpoint (no 'base.' prefix, with an
+    fc head) must land in params['base'] with fc ignored (strict=False
+    semantics of csf_res2net.py:143-144)."""
+    import torch
+
+    from sod100k_tpu.arch.csf_res2net import load_res2net_backbone
+
+    donor = csf_init(jax.random.key(7))
+    sd = {k[len("base."):]: torch.from_numpy(np.array(v))
+          for k, v in pytree_to_state_dict({"base": donor["base"]}).items()}
+    sd["fc.weight"] = torch.zeros(1000, 2048)
+    sd["fc.bias"] = torch.zeros(1000)
+    path = str(tmp_path / "res2net50_v1b.pth")
+    torch.save(sd, path)
+
+    target = csf_init(jax.random.key(8))
+    out = load_res2net_backbone(target, path)
+    np.testing.assert_array_equal(
+        np.asarray(out["base"]["layer1"]["0"]["conv1"]["kernel"]),
+        np.asarray(donor["base"]["layer1"]["0"]["conv1"]["kernel"]))
+    assert "fc" not in out["base"]
+    # head untouched
+    np.testing.assert_array_equal(
+        np.asarray(out["fuse"]["conv"]["kernel"]),
+        np.asarray(target["fuse"]["conv"]["kernel"]))
+
+
 def test_res2net101_depth():
     params = csf_init(jax.random.key(0), backbone="res2net101")
     assert len(params["base"]["layer3"]) == 23
