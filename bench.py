@@ -100,6 +100,8 @@ def _device_seconds_per_batch(lc, params, dtype) -> float:
 
 
 def main() -> None:
+    import sys
+
     lc, params = _load()
     mae_f32 = _parity_mae(lc, params, jnp.float32)
     mae_bf16 = _parity_mae(lc, params, jnp.bfloat16)
@@ -109,7 +111,9 @@ def main() -> None:
     per_batch = _device_seconds_per_batch(lc, params, dtype)
     ips = BATCH / per_batch
     print(f"# parity MAE: f32 {mae_f32:.2e}, bf16 {mae_bf16:.2e}; "
-          f"benchmarking {name} batch {BATCH}: {per_batch * 1e3:.2f} ms/batch")
+          f"benchmarking {name} batch {BATCH}: {per_batch * 1e3:.2f} ms/batch",
+          file=sys.stderr)
+    # stdout carries exactly one JSON line
     print(json.dumps({
         "metric": f"csnet_l_x2_224_inference_images_per_sec_per_chip[{name}]",
         "value": round(ips, 1),
