@@ -95,6 +95,20 @@ def test_cli_train(cfg, trained):
     assert ck["epoch"] == 2 and "state_dict" in ck
 
 
+def test_cli_resume_continues_from_checkpoint(cfg, trained):
+    """DATA.RESUME restores params + optax state + epoch (train.py:130-141
+    semantics) and continues to the next epoch."""
+    from cli.train import run_training
+
+    c = cfg.clone()
+    c.DATA.RESUME = os.path.join(c.DATA.SAVEDIR, "synth", "checkpoint",
+                                 "checkpoint_epoch2.pth.tar")
+    out = run_training(c, max_epochs=3, log=lambda *a, **k: None)
+    assert [h["epoch"] for h in out["history"]] == [3]
+    assert os.path.exists(os.path.join(c.DATA.SAVEDIR, "synth", "checkpoint",
+                                       "checkpoint_epoch3.pth.tar"))
+
+
 def test_cli_finetune_after_train(cfg, trained):
     from cli.finetune import run_finetune
 
