@@ -27,6 +27,32 @@ from sod100k_tpu.interop.torch_ckpt import (
 )
 
 
+def data_mesh_for(cfg, batch_size: int, log=print):
+    """Data-parallel mesh sized to TPU.MESH_DEVICES (0 = all visible),
+    clamped to the largest device count that divides the batch (GSPMD
+    shards the batch axis evenly)."""
+    from sod100k_tpu.parallel.mesh import make_mesh
+
+    want = min(cfg.TPU.MESH_DEVICES or len(jax.devices()), len(jax.devices()))
+    n = want
+    while batch_size % n:
+        n -= 1
+    if n != want:
+        log(f"data mesh clamped to {n} device(s) "
+            f"(batch {batch_size} must shard evenly)")
+    return make_mesh(n)
+
+
+def enable_compile_cache() -> None:
+    """Persistent XLA compile cache (.jax_cache at the repo root): first
+    compiles over the axon tunnel take minutes; reruns of the same driver
+    program load from disk. Safe to call repeatedly."""
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
 class Logger:
     """Tee to stdout + a timestamped log file (reference log_string pattern)."""
 

@@ -33,6 +33,10 @@ from sod100k_tpu.train.step import make_eval_step
 def run_test(cfg, log=print) -> dict:
     import cv2
 
+    from .common import enable_compile_cache
+
+    enable_compile_cache()
+
     lc = LayerConfig.load(cfg.TEST.MODEL_CONFIG)
     params, meta = load_checkpoint(cfg.TEST.CHECKPOINT)
     epoch = meta.get("epoch", 0)
@@ -40,7 +44,6 @@ def run_test(cfg, log=print) -> dict:
     log("  + Number of params: %.4fM" % (count_params(params) / 1e6))
     dtype = jnp.bfloat16 if cfg.TPU.DTYPE == "bfloat16" else jnp.float32
     params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
-    eval_step = make_eval_step(lc, pallas=cfg.TPU.PALLAS_DW)
 
     task = cfg.TASK or cfg.MODEL.ARCH
     # fixed-size configs batch images for one dispatch per DATA.BATCH_SIZE
@@ -48,6 +51,16 @@ def run_test(cfg, log=print) -> dict:
     # ceil-to-16 native-size mode stays per-image like the reference
     fixed = cfg.TEST.IMAGE_H != 0 and cfg.TEST.IMAGE_W != 0
     batch_size = max(cfg.DATA.BATCH_SIZE, 1) if fixed else 1
+    # front-end placement (fixed-size mode only: the ceil-to-16 mode has a
+    # per-image output shape, so its resize stays on host like the reference)
+    mode = cfg.TPU.PREPROCESS if fixed else "host"
+    dev_pre = mode == "device"
+    hyb_pre = mode == "hybrid"
+    if dev_pre or hyb_pre:
+        from sod100k_tpu.data.device_pipeline import preprocess_infer_batch
+        from sod100k_tpu.data.pipeline import _imread_rgb_u8
+    eval_step = make_eval_step(lc, pallas=cfg.TPU.PALLAS_DW, from_u8=hyb_pre,
+                               compute_dtype=dtype)
     results = {}
     from concurrent.futures import ThreadPoolExecutor
 
@@ -59,6 +72,16 @@ def run_test(cfg, log=print) -> dict:
         t0 = time.time()
 
         def load(name):
+            if dev_pre:
+                img = _imread_rgb_u8(os.path.join(img_dir, name))
+                return img, img.shape[:2]
+            if hyb_pre:
+                # host resize in uint8; normalization fused into eval_step
+                img = _imread_rgb_u8(os.path.join(img_dir, name))
+                h, w = img.shape[:2]
+                img = cv2.resize(img, (cfg.TEST.IMAGE_W, cfg.TEST.IMAGE_H),
+                                 interpolation=cv2.INTER_LINEAR)
+                return img, (h, w)
             return preprocess_test_image(
                 os.path.join(img_dir, name),
                 (cfg.TEST.IMAGE_H, cfg.TEST.IMAGE_W))
@@ -67,7 +90,26 @@ def run_test(cfg, log=print) -> dict:
             for b0 in range(0, len(names), batch_size):
                 chunk = names[b0:b0 + batch_size]
                 loaded = list(pool.map(load, chunk))
-                if batch_size > 1:
+                if dev_pre:
+                    # uint8 ship + on-device resize/normalize; pad to a
+                    # 64-multiple bucket so compiles are shared across batches
+                    hp = max(-(-max(l[0].shape[0] for l in loaded) // 64) * 64, 64)
+                    wp = max(-(-max(l[0].shape[1] for l in loaded) // 64) * 64, 64)
+                    imgs = np.zeros((batch_size, hp, wp, 3), np.uint8)
+                    hws = np.ones((batch_size, 2), np.int32)
+                    for i, (im, (h, w)) in enumerate(loaded):
+                        imgs[i, :h, :w] = im
+                        hws[i] = (h, w)
+                    x = preprocess_infer_batch(
+                        jnp.asarray(imgs), jnp.asarray(hws),
+                        out_hw=(cfg.TEST.IMAGE_H, cfg.TEST.IMAGE_W)).astype(dtype)
+                    preds = np.asarray(eval_step(params, x).astype(jnp.float32))
+                elif hyb_pre:
+                    stack = [l[0] for l in loaded]
+                    stack += [stack[-1]] * (batch_size - len(stack))
+                    x = jnp.asarray(np.stack(stack))  # uint8
+                    preds = np.asarray(eval_step(params, x).astype(jnp.float32))
+                elif batch_size > 1:
                     # pad the trailing partial batch to keep one compiled shape
                     stack = [l[0] for l in loaded]
                     stack += [stack[-1]] * (batch_size - len(stack))

@@ -20,7 +20,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from sod100k_tpu.config import get_cfg
-from sod100k_tpu.data.pipeline import SalData, batches, device_prefetch
+from sod100k_tpu.data.pipeline import (
+    SalData,
+    batches,
+    device_prefetch,
+    hybrid_batches,
+    raw_batches,
+)
 from sod100k_tpu.interop.torch_ckpt import state_dict_to_pytree
 from sod100k_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from sod100k_tpu.train.optim import make_adam, make_adam_dwd, multistep_lr
@@ -37,7 +43,35 @@ from .common import (
 )
 
 
+def _restore_opt_state(fresh_opt_state, loaded, log):
+    """Rebuild the optax state from checkpointed leaves, validating the leaf
+    list (count + shape/dtype pairwise) against the freshly-initialized state
+    before trusting unflatten — leaf order is optax-version-dependent, so a
+    silent mismatch would corrupt moments. Falls back to the fresh state with
+    a logged warning."""
+    fresh_leaves = jax.tree.leaves(fresh_opt_state)
+    loaded_leaves = jax.tree.leaves(loaded)
+    if len(fresh_leaves) != len(loaded_leaves):
+        log(f"optimizer state incompatible (leaf count "
+            f"{len(loaded_leaves)} != {len(fresh_leaves)}); reinitialized")
+        return fresh_opt_state
+    for i, (f, l) in enumerate(zip(fresh_leaves, loaded_leaves)):
+        if tuple(np.shape(f)) != tuple(np.shape(l)):
+            log(f"optimizer state incompatible (leaf {i} shape "
+                f"{np.shape(l)} != {np.shape(f)}); reinitialized")
+            return fresh_opt_state
+    try:
+        return jax.tree.unflatten(jax.tree.structure(fresh_opt_state),
+                                  [jnp.asarray(l) for l in loaded_leaves])
+    except Exception as e:  # defensive: never let resume corrupt a run
+        log(f"optimizer state incompatible ({e}); reinitialized")
+        return fresh_opt_state
+
+
 def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
+    from .common import enable_compile_cache
+
+    enable_compile_cache()
     dirs = resolve_dirs(cfg)
     log = log or Logger(dirs["base"], "logtrain", dirs["task"])
     log(cfg, display=False)
@@ -61,20 +95,31 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
     opt_state = tx.init(trainable)
 
     start_epoch = 0
-    if cfg.DATA.RESUME and os.path.isfile(cfg.DATA.RESUME):
+    if cfg.DATA.RESUME and os.path.isdir(cfg.DATA.RESUME):
+        # native Orbax resume (directories written under TPU.ORBAX)
+        from sod100k_tpu.train.checkpoint import restore_native
+
+        log(f"=> loading orbax checkpoint '{cfg.DATA.RESUME}'")
+        restored = restore_native(cfg.DATA.RESUME)
+        trainable = jax.tree.map(jnp.asarray, restored["trainable"])
+        state = jax.tree.map(jnp.asarray, restored["state"])
+        opt_state = _restore_opt_state(opt_state, restored["opt_state"], log)
+        start_epoch = int(restored["epoch"])
+        log(f"=> loaded orbax checkpoint (epoch {start_epoch})")
+    elif cfg.DATA.RESUME and os.path.isfile(cfg.DATA.RESUME):
         log(f"=> loading checkpoint '{cfg.DATA.RESUME}'")
         rparams, start_epoch, ropt = load_any_checkpoint(cfg.DATA.RESUME)
         trainable, state = partition(rparams)
         if ropt is not None:
-            try:
-                opt_state = jax.tree.unflatten(
-                    jax.tree.structure(opt_state), jax.tree.leaves(ropt))
-            except Exception:
-                log("optimizer state incompatible; reinitialized")
+            opt_state = _restore_opt_state(opt_state, ropt, log)
         log(f"=> loaded checkpoint (epoch {start_epoch})")
 
     flops_on = cfg.AUTO.FLOPS.ENABLE
     flops_expand = cfg.AUTO.FLOPS.EXPAND if cfg.AUTO.FLOPS.EXPAND != -1.0 else 2.0
+    preprocess = cfg.TPU.PREPROCESS  # "host" | "hybrid" | "device"
+    if preprocess not in ("host", "hybrid", "device"):
+        raise SystemExit(f"TPU.PREPROCESS must be host|hybrid|device, "
+                         f"got {preprocess!r}")
     step = make_train_step(
         lc, tx,
         flops_weight=cfg.AUTO.FLOPS.WEIGHT if flops_on else 0.0,
@@ -82,11 +127,13 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
         batch_size=cfg.DATA.BATCH_SIZE,
         mloss=cfg.LOSS.MLOSS,
         compute_dtype=jnp.bfloat16 if cfg.TPU.DTYPE == "bfloat16" else None,
+        from_u8=preprocess == "hybrid",
     )
     eval_step = make_eval_step(lc)
 
-    n_mesh = cfg.TPU.MESH_DEVICES or len(jax.devices())
-    mesh = make_mesh(min(n_mesh, len(jax.devices())))
+    from .common import data_mesh_for
+
+    mesh = data_mesh_for(cfg, cfg.DATA.BATCH_SIZE, log)
     trainable = replicate(trainable, mesh)
     state = replicate(state, mesh)
     opt_state = replicate(opt_state, mesh)
@@ -99,7 +146,9 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
     best_mae, best_epoch = float("inf"), -1
     epochs = max_epochs if max_epochs is not None else cfg.SOLVER.MAX_EPOCHS
     history = []
+    import time as _time
     for epoch in range(start_epoch, epochs):
+        t_epoch = _time.perf_counter()
         lr = multistep_lr(cfg.SOLVER.LR, cfg.SOLVER.STEPS, epoch) \
             if cfg.SOLVER.ADJUST_STEP else cfg.SOLVER.LR
         log(f"lr: {lr}")
@@ -112,13 +161,37 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
                     log(f"{name}: {np.asarray(leaf)}", display=False)
         penalty_on = jnp.float32(1.0 if epoch < cfg.AUTO.FINETUNE else 0.0)
 
-        it = batches(train_ds, cfg.DATA.BATCH_SIZE, shuffle=True,
-                     seed=cfg.TPU.SEED + epoch, num_threads=cfg.DATA.WORKERS)
+        if preprocess == "device":
+            # host decodes uint8 only; crop/flip/resize/normalize run as one
+            # jitted device program (device_pipeline.preprocess_train_batch)
+            it = raw_batches(train_ds, cfg.DATA.BATCH_SIZE, shuffle=True,
+                             seed=cfg.TPU.SEED + epoch,
+                             num_threads=cfg.DATA.WORKERS)
+        elif preprocess == "hybrid":
+            # host augments/resizes in uint8; normalization is fused into
+            # the train-step dispatch (step was built with from_u8)
+            it = hybrid_batches(train_ds, cfg.DATA.BATCH_SIZE, shuffle=True,
+                                seed=cfg.TPU.SEED + epoch,
+                                num_threads=cfg.DATA.WORKERS)
+        else:
+            it = batches(train_ds, cfg.DATA.BATCH_SIZE, shuffle=True,
+                         seed=cfg.TPU.SEED + epoch, num_threads=cfg.DATA.WORKERS)
         losses, pens, nb = 0.0, 0.0, 0
+        aug_key = jax.random.key(cfg.TPU.SEED * 1_000_003 + epoch)
         for batch in device_prefetch(it, mesh=mesh):
+            if preprocess == "device":
+                from sod100k_tpu.data.device_pipeline import preprocess_train_batch
+
+                feed = preprocess_train_batch(
+                    batch["image_u8"], batch["gt_u8"], batch["valid_hw"],
+                    jax.random.fold_in(aug_key, nb),
+                    out_hw=(cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W))
+            elif preprocess == "hybrid":
+                feed = {"image": batch["image_u8"], "target": batch["target_u8"]}
+            else:
+                feed = {"image": batch["image"], "target": batch["target"]}
             trainable, state, opt_state, m = step(
-                trainable, state, opt_state,
-                {"image": batch["image"], "target": batch["target"]},
+                trainable, state, opt_state, feed,
                 jnp.float32(lr), penalty_on,
             )
             nb += 1
@@ -126,6 +199,20 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
                 losses, pens = float(m["loss"]), float(m["penalty"])
                 log(f"Epoch: [{epoch + 1}][{nb}]\tLoss {losses:.4f}\t"
                     f"FakeFLOPs {pens:.3f}")
+
+        if nb:
+            # value readback, not block_until_ready: over the axon tunnel the
+            # latter can ack at dispatch, before device execution finishes
+            float(m["loss"])
+        epoch_secs = _time.perf_counter() - t_epoch
+        ips = nb * cfg.DATA.BATCH_SIZE / max(epoch_secs, 1e-9)
+        log(f"epoch time: {epoch_secs:.1f}s ({ips:.1f} img/s)")
+        # per-epoch device-memory print (reference train.py:185-186
+        # torch.cuda.max_memory_allocated equivalent)
+        stats = jax.local_devices()[0].memory_stats() or {}
+        if "peak_bytes_in_use" in stats:
+            log(f"max memory allocated: "
+                f"{stats['peak_bytes_in_use'] / 2**20:.1f} MiB")
 
         mae = float("nan")
         if val_ds is not None:
@@ -137,7 +224,8 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
                 best_mae, best_epoch = mae, epoch + 1
         log(f" epoch: {epoch + 1} mae: {mae} best_epoch: {best_epoch} "
             f"best_mae: {best_mae}")
-        history.append({"epoch": epoch + 1, "mae": mae, "loss": losses})
+        history.append({"epoch": epoch + 1, "mae": mae, "loss": losses,
+                        "secs": epoch_secs, "img_per_sec": ips})
 
         save_torch_checkpoint(
             os.path.join(dirs["checkpoint"], f"checkpoint_epoch{epoch + 1}.pth.tar"),

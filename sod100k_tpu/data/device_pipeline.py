@@ -112,3 +112,23 @@ def preprocess_train_batch(
     keys = jax.random.split(key, images_u8.shape[0])
     ims, gs = jax.vmap(one)(images_u8, gts_u8, valid_hw, keys)
     return {"image": ims, "target": gs}
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def preprocess_infer_batch(
+    images_u8: jax.Array,   # (N, H, W, 3) uint8 (decoded, bucket-padded)
+    valid_hw: jax.Array,    # (N, 2) int32 true sizes inside the padding
+    *,
+    out_hw: tuple[int, int] = (224, 224),
+) -> jax.Array:
+    """Inference front-end (test.py:71-86 fixed-size protocol on device):
+    bilinear-resize each image's valid region to out_hw, scale to [0,1],
+    ImageNet-normalize. Returns float32 NHWC."""
+
+    def one(img, hw):
+        zero = jnp.int32(0)
+        im = crop_resize_bilinear(img, (zero, hw[0], zero, hw[1]), out_hw)
+        im = im / 255.0
+        return (im - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+    return jax.vmap(one)(images_u8, valid_hw)

@@ -56,6 +56,30 @@ def _imread_gray(path: str) -> np.ndarray:
     return g.astype(np.float32) / np.float32(255.0)
 
 
+def _imread_rgb_u8(path: str) -> np.ndarray:
+    """Decode-only reader for the device front-end: uint8 RGB HWC with the
+    same grayscale->3-channel / drop-alpha promotion as _imread_rgb."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise FileNotFoundError(path)
+    if img.ndim == 2:
+        img = img[:, :, None].repeat(3, axis=2)
+    elif img.shape[2] == 4:
+        img = img[:, :, :3]
+    return np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB
+
+
+def _imread_gray_u8(path: str) -> np.ndarray:
+    import cv2
+
+    g = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    if g is None:
+        raise FileNotFoundError(path)
+    return g
+
+
 def resize_bilinear_np(img: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
     """Half-pixel bilinear resize without anti-aliasing (skimage
     mode='reflect', anti_aliasing=False equivalent for order-1)."""
@@ -122,6 +146,38 @@ class SalData:
 
     def __len__(self) -> int:
         return len(self.stems)
+
+    def raw_item(self, idx: int) -> dict:
+        """Decode-only sample for the device front-end: uint8 image/GT at
+        native resolution (the host does no resize/normalize work)."""
+        stem = self.stems[idx]
+        img = _imread_rgb_u8(os.path.join(self.data_dir, "images",
+                                          f"{stem}.{self.img_ext}"))
+        gt = _imread_gray_u8(os.path.join(self.data_dir, "GT", f"{stem}.png"))
+        return {"image_u8": img, "gt_u8": gt,
+                "hw": np.asarray(gt.shape[:2], np.int32)}
+
+    def hybrid_item(self, idx: int) -> dict:
+        """Hybrid front-end sample: crop/flip augmentation and resize run on
+        the host but stay uint8 end-to-end (4x less host->device traffic and
+        no float math on the host); [0,1] scaling + ImageNet normalization
+        are fused into the train-step dispatch (train/step.py from_u8).
+        u8 resize rounds to integers — within 1/255 of the reference's
+        float path, indistinguishable at training time."""
+        stem = self.stems[idx]
+        img = _imread_rgb_u8(os.path.join(self.data_dir, "images",
+                                          f"{stem}.{self.img_ext}"))
+        gt = _imread_gray_u8(os.path.join(self.data_dir, "GT", f"{stem}.png"))
+        if self.aug is not None:
+            img, gt = self.aug(img, gt)
+        import cv2
+
+        img = cv2.resize(img, (self.size[1], self.size[0]),
+                         interpolation=cv2.INTER_LINEAR)
+        gt = cv2.resize(gt, (self.size[1], self.size[0]),
+                        interpolation=cv2.INTER_LINEAR)
+        return {"image_u8": np.ascontiguousarray(img),
+                "target_u8": gt[..., None]}
 
     def __getitem__(self, idx: int) -> dict:
         stem = self.stems[idx]
@@ -195,6 +251,106 @@ def batches(
                 batch["h"] = [s["h"] for s in samples]
                 batch["w"] = [s["w"] for s in samples]
             yield batch
+
+
+def hybrid_batches(
+    dataset: SalData,
+    batch_size: int,
+    *,
+    shuffle: bool = True,
+    drop_last: bool = True,
+    seed: int = 0,
+    num_threads: int = 4,
+) -> Iterator[dict]:
+    """Epoch iterator of uint8 train-size batches (see SalData.hybrid_item):
+    {"image_u8": (N,H,W,3) u8, "target_u8": (N,H,W,1) u8}."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    n_full = len(order) // batch_size
+    if not drop_last and n_full * batch_size < len(order):
+        n_full += 1
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=num_threads) as pool:
+        for b in range(n_full):
+            idxs = order[b * batch_size:(b + 1) * batch_size]
+            samples = list(pool.map(dataset.hybrid_item, idxs))
+            yield {"image_u8": np.stack([s["image_u8"] for s in samples]),
+                   "target_u8": np.stack([s["target_u8"] for s in samples])}
+
+
+def raw_batches(
+    dataset: SalData,
+    batch_size: int,
+    *,
+    shuffle: bool = True,
+    drop_last: bool = True,
+    seed: int = 0,
+    num_threads: int = 4,
+    pad_multiple: int = 64,
+    group_by_aspect: bool = True,
+) -> Iterator[dict]:
+    """Decode-only epoch iterator for the device front-end.
+
+    Each batch is padded (bottom/right, zeros) to the per-batch max H/W
+    rounded up to pad_multiple, so the jitted device preprocess sees a small
+    set of bucket shapes (one XLA program per bucket, cached). Yields
+    {"image_u8": (N,Hp,Wp,3) uint8, "gt_u8": (N,Hp,Wp) uint8,
+     "valid_hw": (N,2) int32} — 4x less host->device traffic than float32
+    and none of the reference's host-side crop/resize work
+    (prepare_data.py:91-139 all moves on device).
+
+    group_by_aspect keeps each batch single-orientation (landscape vs
+    portrait, from header-only size reads, cached) so a mixed 400x300 /
+    300x400 set pads to ~(448,320) buckets instead of (448,448) — ~1.5x
+    fewer bytes over the host->device link. Shuffling stays random within
+    each orientation group."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    # orientation grouping only under shuffle: deterministic (val/debug)
+    # iteration keeps dataset order untouched
+    if group_by_aspect and shuffle and len(order):
+        sizes = getattr(dataset, "_header_sizes", None)
+        if sizes is None:
+            from PIL import Image
+
+            sizes = np.asarray([
+                Image.open(os.path.join(
+                    dataset.data_dir, "images",
+                    f"{s}.{dataset.img_ext}")).size[::-1]  # (h, w)
+                for s in dataset.stems], np.int64)
+            dataset._header_sizes = sizes
+        landscape = sizes[order, 1] >= sizes[order, 0]
+        order = np.concatenate([order[landscape], order[~landscape]])
+    n_full = len(order) // batch_size
+    ends = n_full * batch_size
+    if not drop_last and ends < len(order):
+        n_full += 1
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def up(v: int) -> int:
+        return max(int(math.ceil(v / pad_multiple) * pad_multiple), pad_multiple)
+
+    with ThreadPoolExecutor(max_workers=num_threads) as pool:
+        for b in range(n_full):
+            idxs = order[b * batch_size:(b + 1) * batch_size]
+            samples = list(pool.map(dataset.raw_item, idxs))
+            hp = up(max(int(s["hw"][0]) for s in samples))
+            wp = up(max(int(s["hw"][1]) for s in samples))
+            n = len(samples)
+            imgs = np.zeros((n, hp, wp, 3), np.uint8)
+            gts = np.zeros((n, hp, wp), np.uint8)
+            hws = np.zeros((n, 2), np.int32)
+            for i, s in enumerate(samples):
+                h, w = int(s["hw"][0]), int(s["hw"][1])
+                imgs[i, :h, :w] = s["image_u8"]
+                gts[i, :h, :w] = s["gt_u8"]
+                hws[i] = (h, w)
+            yield {"image_u8": imgs, "gt_u8": gts, "valid_hw": hws}
 
 
 def device_prefetch(it: Iterator[dict], *, mesh=None, depth: int = 2) -> Iterator[dict]:

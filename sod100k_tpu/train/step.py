@@ -44,6 +44,7 @@ def make_train_step(
     apply_fn=None,
     mloss: int = 1,
     compute_dtype=None,
+    from_u8: bool = False,
 ):
     """Build the jitted CSNet train step.
 
@@ -54,6 +55,9 @@ def make_train_step(
     reference train.py:205-209). ``compute_dtype=jnp.bfloat16`` runs the
     forward/backward in mixed precision (activations bf16 with f32
     accumulation; params, BN stats, loss and optimizer state stay f32).
+    ``from_u8`` accepts uint8 image/target (the hybrid data front-end ships
+    raw bytes) and fuses [0,1] scaling + ImageNet normalization into this
+    same dispatch — no separate preprocess program, 4x less link traffic.
     """
     fw = dynamic_wd.flop_weight_map(lc, flops_expand) if flops_weight else {}
     apply = apply_fn or (lambda p, x, ctx: csnet_apply(p, x, lc, ctx))
@@ -62,6 +66,13 @@ def make_train_step(
         ctx = ApplyCtx(train=True, collect_gap=bool(fw))
         params = merge(trainable, state)
         image = batch["image"]
+        if from_u8:
+            from ..data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+
+            image = (image.astype(jnp.float32) / 255.0
+                     - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+            batch = dict(batch,
+                         target=batch["target"].astype(jnp.float32) / 255.0)
         if compute_dtype is not None:
             image = image.astype(compute_dtype)
         out = apply(params, image, ctx)
@@ -92,13 +103,24 @@ def make_train_step(
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
-def make_eval_step(lc: LayerConfig, *, pallas: bool = False):
-    """Jitted inference step: image batch -> sigmoid saliency maps (N,H,W,1)."""
+def make_eval_step(lc: LayerConfig, *, pallas: bool = False,
+                   from_u8: bool = False, compute_dtype=None):
+    """Jitted inference step: image batch -> sigmoid saliency maps (N,H,W,1).
+
+    from_u8 fuses [0,1] scaling + ImageNet normalization into the dispatch
+    (hybrid front-end: the host ships resized uint8, 4x less link traffic)."""
 
     @jax.jit
     def step(params, image):
+        if from_u8:
+            from ..data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+
+            image = (image.astype(jnp.float32) / 255.0
+                     - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        if compute_dtype is not None:
+            image = image.astype(compute_dtype)
         logits = csnet_apply(params, image, lc, ApplyCtx(pallas=pallas))
-        return jax.nn.sigmoid(logits)
+        return jax.nn.sigmoid(logits.astype(jnp.float32))
 
     return step
 

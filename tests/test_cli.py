@@ -101,6 +101,7 @@ def test_cli_resume_continues_from_checkpoint(cfg, trained):
     from cli.train import run_training
 
     c = cfg.clone()
+    c.TPU.PREPROCESS = "host"  # also covers the host-pipeline fallback
     c.DATA.RESUME = os.path.join(c.DATA.SAVEDIR, "synth", "checkpoint",
                                  "checkpoint_epoch2.pth.tar")
     out = run_training(c, max_epochs=3, log=lambda *a, **k: None)
@@ -142,3 +143,29 @@ def test_cli_test_and_eval(cfg, trained):
                            backend="native", log=lambda *a, **k: None)
     assert best_native["ECSSD"]["max_f"] == pytest.approx(
         best["ECSSD"]["max_f"], abs=1e-5)
+
+
+def test_cli_orbax_save_and_resume(cfg, trained):
+    """TPU.ORBAX writes native checkpoints next to the .pth.tar files and
+    DATA.RESUME accepts the orbax directory (restores params + optax state +
+    epoch through the hardened _restore_opt_state path)."""
+    pytest.importorskip("orbax.checkpoint")
+    from cli.train import run_training
+
+    c = cfg.clone()
+    c.TASK = "synth_orbax"
+    c.TPU.ORBAX = True
+    c.TPU.PREPROCESS = "device"  # also covers the device front-end driver path
+    run_training(c, max_epochs=1, log=lambda *a, **k: None)
+    odir = os.path.join(c.DATA.SAVEDIR, "synth_orbax", "checkpoint",
+                        "orbax_epoch1")
+    assert os.path.isdir(odir)
+
+    c2 = c.clone()
+    c2.TPU.ORBAX = False
+    c2.DATA.RESUME = odir
+    out = run_training(c2, max_epochs=2, log=lambda *a, **k: None)
+    assert [h["epoch"] for h in out["history"]] == [2]
+    assert os.path.exists(os.path.join(c.DATA.SAVEDIR, "synth_orbax",
+                                       "checkpoint",
+                                       "checkpoint_epoch2.pth.tar"))

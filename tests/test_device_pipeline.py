@@ -3,9 +3,11 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sod100k_tpu.data.device_pipeline import (
     crop_resize_bilinear,
+    preprocess_infer_batch,
     preprocess_train_batch,
 )
 from sod100k_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD, resize_bilinear_np
@@ -59,3 +61,82 @@ def test_preprocess_batch_augment_runs_and_respects_padding():
     np.testing.assert_allclose(tg, 1.0, atol=1e-6)
     # and no output image pixel equals the normalized zero-pad everywhere
     assert (np.abs(im - (0 - IMAGENET_MEAN) / IMAGENET_STD).max(axis=-1) > 1e-3).all()
+
+
+def test_preprocess_infer_batch_matches_host_test_protocol(tmp_path):
+    """Fixed-size inference front-end == preprocess_test_image on disk files."""
+    cv2 = pytest.importorskip("cv2")
+    from sod100k_tpu.data.pipeline import _imread_rgb_u8, preprocess_test_image
+
+    rng = np.random.default_rng(3)
+    paths = []
+    for i, (h, w) in enumerate([(41, 53), (64, 64), (90, 70)]):
+        p = tmp_path / f"im{i}.png"
+        cv2.imwrite(str(p), rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+        paths.append(str(p))
+
+    imgs = np.zeros((3, 128, 128, 3), np.uint8)
+    hws = np.zeros((3, 2), np.int32)
+    for i, p in enumerate(paths):
+        u8 = _imread_rgb_u8(p)
+        imgs[i, :u8.shape[0], :u8.shape[1]] = u8
+        hws[i] = u8.shape[:2]
+    got = np.asarray(preprocess_infer_batch(
+        jnp.asarray(imgs), jnp.asarray(hws), out_hw=(48, 48)))
+    for i, p in enumerate(paths):
+        want, _ = preprocess_test_image(p, (48, 48))
+        np.testing.assert_allclose(got[i], want[0], atol=2e-3)
+
+
+def test_hybrid_batches_match_host_pipeline(tmp_path):
+    """Hybrid front-end (uint8 host aug/resize + fused device normalize) is
+    the host pipeline up to uint8 rounding (< 1/255 pre-normalization)."""
+    cv2 = pytest.importorskip("cv2")
+    from sod100k_tpu.data.pipeline import SalData, batches, hybrid_batches
+
+    rng = np.random.default_rng(6)
+    (tmp_path / "images").mkdir()
+    (tmp_path / "GT").mkdir()
+    for i in range(4):
+        h, w = 60 + 3 * i, 70 - 2 * i
+        cv2.imwrite(str(tmp_path / "images" / f"c{i}.png"),
+                    rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+        cv2.imwrite(str(tmp_path / "GT" / f"c{i}.png"),
+                    rng.integers(0, 255, (h, w), dtype=np.uint8))
+    ds = SalData(str(tmp_path), (32, 32), augmentation=False)
+    (hb,) = list(hybrid_batches(ds, 4, shuffle=False))
+    (fb,) = list(batches(ds, 4, shuffle=False))
+    assert hb["image_u8"].dtype == np.uint8
+    norm = ((hb["image_u8"].astype(np.float32) / 255.0 - IMAGENET_MEAN)
+            / IMAGENET_STD)
+    # 0.5/255 quantization / STD=0.225 ~ 0.0087; resize rounding doubles it
+    np.testing.assert_allclose(norm, fb["image"], atol=0.02)
+    np.testing.assert_allclose(hb["target_u8"].astype(np.float32) / 255.0,
+                               fb["target"], atol=0.005)
+
+
+def test_raw_batches_bucket_padding(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from sod100k_tpu.data.pipeline import SalData, raw_batches
+
+    rng = np.random.default_rng(4)
+    (tmp_path / "images").mkdir()
+    (tmp_path / "GT").mkdir()
+    sizes = [(70, 90), (90, 70), (80, 80), (75, 85)]
+    for i, (h, w) in enumerate(sizes):
+        cv2.imwrite(str(tmp_path / "images" / f"a{i}.jpg"),
+                    rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+        cv2.imwrite(str(tmp_path / "GT" / f"a{i}.png"),
+                    rng.integers(0, 255, (h, w), dtype=np.uint8))
+    ds = SalData(str(tmp_path), (32, 32))
+    (batch,) = list(raw_batches(ds, 4, shuffle=False, pad_multiple=64))
+    assert batch["image_u8"].shape == (4, 128, 128, 3)  # 90 -> 128 bucket
+    assert batch["gt_u8"].shape == (4, 128, 128)
+    assert batch["image_u8"].dtype == np.uint8
+    # valid region carries the decoded pixels, the pad is zero
+    for i in range(4):
+        h, w = batch["valid_hw"][i]
+        assert (h, w) == sizes[i]
+        assert batch["image_u8"][i, h:].sum() == 0
+        assert batch["image_u8"][i, :, w:].sum() == 0
+        assert batch["image_u8"][i, :h, :w].sum() > 0
