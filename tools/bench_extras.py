@@ -1,0 +1,238 @@
+"""Secondary driver-captured benchmarks -> bench_extras.json (repo root).
+
+bench.py stays the single-JSON-line flagship metric; this tool regenerates
+the README performance table's other rows with one command:
+
+    python tools/bench_extras.py [--skip-e2e] [--skip-csf] [--skip-step]
+
+Entries:
+- CSNet-L-x2 train-step throughput (full dynamic-wd recipe) f32 B=128/B=24
+  and bf16 B=128. Unlike bench.py's lax.scan chaining (needed for ~ms
+  forwards), train steps run 100-300 ms, so K donated steps are dispatched
+  asynchronously from a Python loop (device executes back-to-back; the
+  ~35 ms tunnel RPC overlaps) and one RPC is subtracted at the final block.
+  A scan-of-steps was tried and OOMs HBM at f32 B=128: inside a while-loop
+  body XLA loses the buffer-donation freedom the real driver has.
+- CSF+Res2Net-50 336x336 train micro-step (reference Solver protocol,
+  solver.py:76-77 speed test is inference FPS; we record both the B=1
+  protocol step and a B=8 throughput step).
+- End-to-end cli.train epoch throughput on a synthetic DUTS-TR-shaped
+  directory (300x400 JPEGs), device-side vs host-side preprocessing
+  (TPU.DEVICE_PREPROCESS) — the host pipeline is the measured end-to-end
+  bottleneck on this single-core host.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RPC_LATENCY_S = 0.035
+REPEATS = 3
+
+
+def _force(carry) -> float:
+    """Force device execution by a host readback of one (tiny) leaf.
+
+    Over the axon tunnel block_until_ready can return at dispatch-ack, not
+    execution (measured: it reported a B=128 f32 train step at 3.2 ms when
+    the forward alone is ~10 ms) — a value transfer cannot lie."""
+    leaf = jax.tree.leaves(carry)[0]
+    return float(np.asarray(leaf).ravel()[0])
+
+
+def _timed_chain(step_once, carry, k: int = 8) -> tuple[float, object]:
+    """Per-step seconds for k async-dispatched donated steps (carry threads
+    through so steps execute back-to-back on device), minus one RPC."""
+    carry = step_once(carry)  # compile + warm
+    _force(carry)
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            carry = step_once(carry)
+        _force(carry)
+        best = min(best, time.perf_counter() - t0)
+    return max(best - RPC_LATENCY_S, 1e-9) / k, carry
+
+
+def bench_csnet_train_steps(entries: list) -> None:
+    from sod100k_tpu.arch.csnet import csnet_init
+    from sod100k_tpu.arch.layer_config import init_layers
+    from sod100k_tpu.train.optim import make_adam_dwd
+    from sod100k_tpu.train.params import partition
+    from sod100k_tpu.train.step import make_train_step
+
+    lc = init_layers(40, [0.5, 0.5])  # csnet-L-x2 seed arch (expand=2)
+    params = csnet_init(jax.random.key(0), lc)
+    trainable, state = partition(params)
+    tx = make_adam_dwd(trainable, weight_decay=5e-3)
+    K = 8
+
+    for batch_size, dtype_name in ((128, "f32"), (24, "f32"), (128, "bf16")):
+        cdt = jnp.bfloat16 if dtype_name == "bf16" else None
+        step = make_train_step(lc, tx, flops_weight=3.0, flops_expand=2.0,
+                               batch_size=batch_size, compute_dtype=cdt)
+        opt_state = tx.init(trainable)
+        rng = np.random.default_rng(0)
+        batch = {
+            "image": jnp.asarray(rng.standard_normal(
+                (batch_size, 224, 224, 3), dtype=np.float32)),
+            "target": jnp.asarray((rng.random(
+                (batch_size, 224, 224, 1)) > 0.5).astype(np.float32)),
+        }
+
+        def once(carry):
+            t, s, o = carry
+            t, s, o, _ = step(t, s, o, batch, jnp.float32(1e-4),
+                              jnp.float32(1.0))
+            return (t, s, o)
+
+        # fresh device copies: the donated carry must not alias the arrays
+        # reused by the next dtype/batch configuration
+        carry0 = jax.tree.map(lambda a: jnp.array(a, copy=True),
+                              (trainable, state, opt_state))
+        secs, _ = _timed_chain(once, carry0, K)
+        ips = batch_size / secs
+        print(f"# csnet train step {dtype_name} B={batch_size}: "
+              f"{secs * 1e3:.1f} ms/step = {ips:.0f} img/s", file=sys.stderr)
+        entries.append({
+            "metric": f"csnet_l_x2_224_train_step_img_per_sec[{dtype_name},B={batch_size}]",
+            "value": round(ips, 1), "unit": "images/sec"})
+
+
+def bench_csf_steps(entries: list) -> None:
+    from sod100k_tpu.arch.csf_res2net import csf_init
+    from sod100k_tpu.train.csf_step import (
+        csf_partition,
+        make_csf_optimizer,
+        make_csf_train_step,
+    )
+
+    params = csf_init(jax.random.key(1))
+    trainable, state = csf_partition(params)
+    K = 4
+    for batch_size in (1, 8):
+        tx = make_csf_optimizer(iter_size=10)
+        opt_state = tx.init(trainable)
+        step = make_csf_train_step(tx, iter_size=10, batch_size=batch_size)
+        rng = np.random.default_rng(0)
+        batch = {
+            "image": jnp.asarray(rng.standard_normal(
+                (batch_size, 336, 336, 3), dtype=np.float32)),
+            "target": jnp.asarray((rng.random(
+                (batch_size, 336, 336, 1)) > 0.5).astype(np.float32)),
+        }
+
+        def once(carry):
+            t, o = carry
+            t, o, _ = step(t, state, o, batch, jnp.float32(5e-5))
+            return (t, o)
+
+        carry0 = jax.tree.map(lambda a: jnp.array(a, copy=True),
+                              (trainable, opt_state))
+        secs, _ = _timed_chain(once, carry0, K)
+        print(f"# csf_res2net50 336 train micro-step B={batch_size}: "
+              f"{secs * 1e3:.1f} ms ({batch_size / secs:.1f} img/s)",
+              file=sys.stderr)
+        entries.append({
+            "metric": f"csf_res2net50_336_train_microstep_ms[B={batch_size}]",
+            "value": round(secs * 1e3, 2), "unit": "ms"})
+
+
+def make_synth_duts(root: str, n: int = 240) -> str:
+    """DUTS-TR-shaped synthetic set: 300x400/400x300 JPEGs + GT PNGs."""
+    import cv2
+
+    img_dir = os.path.join(root, "images")
+    gt_dir = os.path.join(root, "GT")
+    if os.path.isdir(img_dir) and len(os.listdir(img_dir)) == n:
+        return root
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(gt_dir, exist_ok=True)
+    rng = np.random.default_rng(7)
+    for i in range(n):
+        h, w = (300, 400) if i % 2 else (400, 300)
+        cy, cx = rng.integers(80, h - 80), rng.integers(80, w - 80)
+        yy, xx = np.mgrid[0:h, 0:w]
+        blob = ((yy - cy) ** 2 + (xx - cx) ** 2) < int(rng.integers(40, 90)) ** 2
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        img[blob] = [190, 70, 60]
+        cv2.imwrite(os.path.join(img_dir, f"b{i:04d}.jpg"), img)
+        cv2.imwrite(os.path.join(gt_dir, f"b{i:04d}.png"),
+                    (blob * 255).astype(np.uint8))
+    return root
+
+
+def bench_e2e_train(entries: list, data_root: str) -> None:
+    import tempfile
+
+    from cli.train import run_training
+    from sod100k_tpu.config import get_cfg
+
+    make_synth_duts(data_root)
+    for mode in ("hybrid", "device", "host"):
+        cfg = get_cfg()
+        cfg.TASK = f"bench_{mode}"
+        cfg.MODEL.BASIC_SPLIT = [0.5, 0.5]
+        cfg.LOSS.MLOSS = 1
+        cfg.DATA.DIR = data_root
+        cfg.DATA.BATCH_SIZE = 24  # reference recipe batch
+        cfg.DATA.WORKERS = 4
+        cfg.DATA.SAVEDIR = tempfile.mkdtemp(prefix="sod_bench_")
+        cfg.AUTO.ENABLE = True
+        cfg.AUTO.EXPAND = 2.0
+        cfg.AUTO.FLOPS.ENABLE = True
+        cfg.AUTO.FLOPS.WEIGHT = 3.0
+        cfg.SOLVER.METHOD = "Adam_dynamic_weight_decay"
+        cfg.TPU.PREPROCESS = mode
+        out = run_training(cfg, max_epochs=2, log=lambda *a, **k: None)
+        ips = out["history"][-1]["img_per_sec"]  # epoch 2 = warm
+        print(f"# e2e cli.train epoch img/s ({mode} preprocess): {ips:.1f}",
+              file=sys.stderr)
+        entries.append({
+            "metric": f"csnet_l_x2_224_e2e_train_img_per_sec[{mode}_preprocess,B=24]",
+            "value": round(ips, 1), "unit": "images/sec"})
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-e2e", action="store_true")
+    ap.add_argument("--skip-csf", action="store_true")
+    ap.add_argument("--skip-step", action="store_true")
+    ap.add_argument("--data-dir", default="/tmp/sod100k_bench_data")
+    args = ap.parse_args()
+
+    entries: list = []
+    if not args.skip_step:
+        bench_csnet_train_steps(entries)
+    if not args.skip_csf:
+        bench_csf_steps(entries)
+    if not args.skip_e2e:
+        bench_e2e_train(entries, args.data_dir)
+
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench_extras.json")
+    with open(out, "w") as f:
+        json.dump({"device": jax.devices()[0].platform,
+                   "entries": entries}, f, indent=1)
+    print(json.dumps(entries))
+
+
+if __name__ == "__main__":
+    main()
