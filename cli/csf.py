@@ -64,13 +64,27 @@ def get_test_info(sal_mode: str = "e") -> tuple[str, str]:
     return table[sal_mode]
 
 
-def _load_params(config):
+def _load_params(config, log=print):
+    from sod100k_tpu.arch.csf_res2net import fetch_res2net_weights
+
     params = csf_init(jax.random.key(0), backbone=config.arch)
     if config.load:
         loaded, _ = load_checkpoint(config.load)
         params = merge(params, loaded)  # strict=False semantics
     elif config.pretrained_model and os.path.isfile(config.pretrained_model):
         params = load_res2net_backbone(params, config.pretrained_model)
+    else:
+        # reference downloads the published ImageNet weights when no local
+        # file is given (csf_res2net.py:15-18,143-144); offline -> warn and
+        # continue from random init
+        path = fetch_res2net_weights(config.arch)
+        if path is not None:
+            params = load_res2net_backbone(params, path)
+            log(f"loaded ImageNet backbone weights from {path}")
+        else:
+            log("WARNING: no --pretrained_model and the published "
+                f"{config.arch} weights are unreachable (offline?); "
+                "training from random backbone init")
     return jax.tree.map(jnp.asarray, params)
 
 
@@ -81,7 +95,7 @@ def run_csf_train(config, log=print) -> dict:
     save_folder = os.path.join(config.save_folder, f"run-{run}")
     os.makedirs(os.path.join(save_folder, "models"))
 
-    params = _load_params(config)
+    params = _load_params(config, log)
     trainable, state = csf_partition(params)
     n_params = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(trainable))
     log(f"The number of trainable parameters: {n_params}")

@@ -109,6 +109,11 @@ def run_eval(cfg, epoch_range=(0, 1), method: str | None = None,
                 pairs = _pairs(sal_dir, gt_dir)
                 if not pairs:
                     continue
+                # inspectable "salpath gtpath" pair list (eval.py:52-59);
+                # also directly consumable by the native salmetric CLI
+                with open(os.path.join(out_dir, f"val_{ds}_{epoch}.txt"),
+                          "w") as plist:
+                    plist.writelines(f"{sp} {gp}\n" for sp, gp in pairs)
                 res = (evaluate_pairs_native(pairs) if backend == "native"
                        else evaluate_pairs_device(pairs))
                 report = (f"epoch {epoch} {ds}: MaxF {res['max_f']:.6f} "

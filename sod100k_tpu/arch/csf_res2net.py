@@ -21,6 +21,7 @@ res2net101 differ only in the stage depths ([3,4,6,3] vs [3,4,23,3]).
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -229,6 +230,58 @@ def csf_apply(params: dict, x: jax.Array, backbone: str = "res2net50",
     logits = conv2d(y[0], params["cls_layer"]["kernel"],
                     params["cls_layer"]["bias"])
     return resize_bilinear(logits, x.shape[1:3])
+
+
+# Published ImageNet weights (reference csf_res2net.py:15-18). The filename
+# suffix is the torch-hub convention: first 8 hex chars of the file's sha256.
+RES2NET_URLS = {
+    "res2net50": "https://shanghuagao.oss-cn-beijing.aliyuncs.com/res2net/"
+                 "res2net50_v1b_26w_4s-3cf99910.pth",
+    "res2net101": "https://shanghuagao.oss-cn-beijing.aliyuncs.com/res2net/"
+                  "res2net101_v1b_26w_4s-0812c246.pth",
+}
+
+
+def fetch_res2net_weights(backbone: str = "res2net50",
+                          cache_dir: str | None = None,
+                          timeout: float = 60.0) -> str | None:
+    """Download (once) the published ImageNet checkpoint for ``backbone``
+    into ``cache_dir`` and return its path; the torch-hub sha256 prefix in
+    the filename is verified. Returns None when the network is unreachable
+    (offline containers skip to random init / a local --pretrained_model,
+    matching the reference's optional download, csf_res2net.py:143-144)."""
+    import hashlib
+    import urllib.error
+    import urllib.request
+
+    url = RES2NET_URLS[backbone]
+    fname = url.rsplit("/", 1)[1]
+    want_prefix = fname.rsplit("-", 1)[1].split(".")[0]
+    cache_dir = cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "sod100k_tpu")
+    path = os.path.join(cache_dir, fname)
+    if os.path.isfile(path):
+        return path
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = path + ".part"
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as r, \
+                open(tmp, "wb") as f:
+            h = hashlib.sha256()
+            while chunk := r.read(1 << 20):
+                h.update(chunk)
+                f.write(chunk)
+        if not h.hexdigest().startswith(want_prefix):
+            os.remove(tmp)
+            raise ValueError(
+                f"checksum mismatch for {fname}: got {h.hexdigest()[:8]}, "
+                f"want {want_prefix}")
+        os.replace(tmp, path)
+        return path
+    except (urllib.error.URLError, OSError, TimeoutError):
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        return None
 
 
 def load_res2net_backbone(params: dict, torch_path: str) -> dict:

@@ -28,11 +28,17 @@ def conv2d(
     dilation: int | tuple[int, int] = 1,
     groups: int = 1,
     weight_scale: float = 1.0,
+    padding_mode: str = "zeros",
 ) -> jax.Array:
     """Convolution matching ``torch.nn.functional.conv2d`` on NHWC/HWIO.
 
     Accumulates in float32 (``preferred_element_type``) so bfloat16
     activations keep full-precision partial sums on the MXU.
+
+    ``padding_mode="circular"`` reproduces the reference Conv2dX100 branch
+    (conv2d.py:84-94, dead in every shipped config): wrap-pad by the torch
+    expansion (left/top get (pad+1)//2, right/bottom pad//2) then convolve
+    unpadded.
     """
     if isinstance(stride, int):
         stride = (stride, stride)
@@ -40,6 +46,17 @@ def conv2d(
         padding = (padding, padding)
     if isinstance(dilation, int):
         dilation = (dilation, dilation)
+    if padding_mode == "circular":
+        x = jnp.pad(
+            x,
+            ((0, 0),
+             ((padding[0] + 1) // 2, padding[0] // 2),
+             ((padding[1] + 1) // 2, padding[1] // 2),
+             (0, 0)),
+            mode="wrap")
+        padding = (0, 0)
+    elif padding_mode != "zeros":
+        raise ValueError(f"unsupported padding_mode {padding_mode!r}")
     w = weight if weight_scale == 1.0 else weight * jnp.asarray(weight_scale, weight.dtype)
     dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
     # float32 inputs use full-precision MXU passes (parity with the reference).
@@ -66,10 +83,11 @@ def conv2d(
     return y
 
 
-def conv2d_x100(x, weight, bias=None, *, stride=1, padding=0, dilation=1, groups=1):
+def conv2d_x100(x, weight, bias=None, *, stride=1, padding=0, dilation=1,
+                groups=1, padding_mode="zeros"):
     """Conv2dX100: effective weight = 100 * stored weight (conv2d.py:102-104)."""
     return conv2d(
         x, weight, bias,
         stride=stride, padding=padding, dilation=dilation, groups=groups,
-        weight_scale=100.0,
+        weight_scale=100.0, padding_mode=padding_mode,
     )

@@ -38,6 +38,26 @@ def golden_input(hw, seed=0, batch=2):
 
 
 @pytest.fixture(scope="session")
+def ref_csnet():
+    """The live reference model.csnet module (torch), with the pre-3.10
+    collections shim it needs; skips when the reference isn't mounted."""
+    if not os.path.isdir(f"{REFERENCE}/CSNet_training"):
+        pytest.skip("reference not mounted")
+    import collections
+    import collections.abc
+    import sys
+
+    if not hasattr(collections, "Iterable"):
+        collections.Iterable = collections.abc.Iterable
+    sys.path.insert(0, f"{REFERENCE}/CSNet_training")
+    for m in ("model", "model.csnet", "model.conv2d"):
+        sys.modules.pop(m, None)
+    from model import csnet as ref
+
+    return ref
+
+
+@pytest.fixture(scope="session")
 def x2_stem():
     return f"{REFERENCE}/CSNet/checkpoints/csnet-L-x2/csnet-L-x2"
 

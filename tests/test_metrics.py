@@ -210,3 +210,80 @@ def test_s_measure_mask_equals_native_size():
     sal_p[:h, :w], gt_p[:h, :w], m[:h, :w] = sal, gt, 1.0
     got = float(s_measure(sal_p, gt_p, m))
     assert got == pytest.approx(want, abs=1e-5)
+
+
+def _smeasure_oracle(pred: np.ndarray, gt: np.ndarray) -> float:
+    """Numpy transcription of Fan et al.'s reference S-measure implementation
+    (Structure-measure, ICCV 2017; author's public MATLAB/Python port),
+    independent of the jit version's masked-reduction formulation."""
+    eps = 1e-8
+    pred = pred.astype(np.float64)
+    gt = gt.astype(bool)
+    u = gt.mean()
+    if u == 0:
+        return float(1.0 - pred.mean())
+    if u == 1:
+        return float(pred.mean())
+
+    def obj(x):
+        if x.size == 0:
+            return 0.0
+        m = x.mean()
+        s = x.std(ddof=1) if x.size > 1 else 0.0
+        return 2.0 * m / (m * m + 1.0 + s + eps)
+
+    s_object = u * obj(pred[gt]) + (1 - u) * obj((1.0 - pred)[~gt])
+
+    rows, cols = gt.shape
+    total = gt.sum()
+    # 1-based rounded centroid (reference centroid())
+    y = int(np.round((gt.sum(axis=1) * np.arange(1, rows + 1)).sum() / total))
+    x = int(np.round((gt.sum(axis=0) * np.arange(1, cols + 1)).sum() / total))
+
+    def ssim(p, g):
+        n = p.size
+        if n <= 1:
+            return 1.0
+        mx, my = p.mean(), g.mean()
+        vx = ((p - mx) ** 2).sum() / (n - 1)
+        vy = ((g - my) ** 2).sum() / (n - 1)
+        sxy = ((p - mx) * (g - my)).sum() / (n - 1)
+        alpha = 4 * mx * my * sxy
+        beta = (mx * mx + my * my) * (vx + vy)
+        if alpha != 0:
+            return alpha / (beta + eps)
+        return 1.0 if beta == 0 else 0.0
+
+    gtf = gt.astype(np.float64)
+    area = rows * cols
+    s_region = 0.0
+    for (rs, cs) in (((0, y), (0, x)), ((0, y), (x, cols)),
+                     ((y, rows), (0, x)), ((y, rows), (x, cols))):
+        p = pred[rs[0]:rs[1], cs[0]:cs[1]]
+        g = gtf[rs[0]:rs[1], cs[0]:cs[1]]
+        s_region += (p.size / area) * ssim(p.ravel(), g.ravel())
+
+    return float(max(0.5 * s_object + 0.5 * s_region, 0.0))
+
+
+def test_s_measure_matches_reference_transcription():
+    from sod100k_tpu.metrics.smeasure import s_measure
+
+    rng = np.random.default_rng(11)
+    cases = []
+    # blobby GTs with noisy predictions (typical SOD shapes)
+    for i in range(4):
+        h, w = int(rng.integers(24, 64)), int(rng.integers(24, 64))
+        cy, cx = rng.integers(6, h - 6), rng.integers(6, w - 6)
+        yy, xx = np.mgrid[0:h, 0:w]
+        gt = (((yy - cy) ** 2 + (xx - cx) ** 2)
+              < int(rng.integers(4, min(h, w) // 2)) ** 2)
+        sal = np.clip(gt * 0.8 + rng.random((h, w)) * 0.3, 0, 1)
+        cases.append((sal.astype(np.float32), gt.astype(np.float32)))
+    # unstructured random case
+    cases.append((rng.random((33, 47)).astype(np.float32),
+                  (rng.random((33, 47)) > 0.5).astype(np.float32)))
+    for sal, gt in cases:
+        want = _smeasure_oracle(sal, gt)
+        got = float(s_measure(sal, gt))
+        assert got == pytest.approx(want, abs=1e-5), (got, want)

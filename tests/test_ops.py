@@ -93,6 +93,22 @@ def test_conv2d_x100_scale():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_conv2d_circular_padding_matches_reference_branch():
+    """Conv2dX100's circular branch (conv2d.py:84-94): torch's asymmetric
+    expanded_padding + F.pad(mode='circular') + unpadded conv."""
+    x = RNG.standard_normal((2, 5, 12, 14), dtype=np.float32)
+    w = RNG.standard_normal((7, 5, 3, 3), dtype=np.float32) * 0.05
+    for pad in (1, 2, 3):
+        expanded = ((pad + 1) // 2, pad // 2, (pad + 1) // 2, pad // 2)
+        want = F.conv2d(
+            F.pad(torch.from_numpy(x), expanded, mode="circular"),
+            100.0 * torch.from_numpy(w), None, 1, 0).numpy()
+        got = nchw(conv2d_x100(
+            nhwc(x), jnp.asarray(w.transpose(2, 3, 1, 0)),
+            padding=pad, padding_mode="circular"))
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+
 def test_batchnorm_infer_and_prelu_match_torch():
     c = 9
     torch.manual_seed(0)  # decouple from other tests' torch RNG usage
@@ -157,58 +173,35 @@ def test_groupnorm_matches_torch():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
-class _RefGOctConv(torch.nn.Module):
-    """Minimal re-derivation of the reference gOctaveConv forward semantics
-    (csnet.py:1014-1076) used purely as a test oracle."""
-
-    def __init__(self, in_split, out_split, k, stride, padding, weight):
-        super().__init__()
-        self.in_split, self.out_split = in_split, out_split
-        self.stride, self.padding = stride, padding
-        self.weight = torch.from_numpy(weight)
-
-    def forward(self, xset):
-        io = np.cumsum([0] + list(self.in_split))
-        oo = np.cumsum([0] + list(self.out_split))
-        ys = [[] for _ in self.out_split]
-        for i, ci in enumerate(self.in_split):
-            if ci == 0 or xset[i] is None:
-                continue
-            x = F.avg_pool2d(xset[i], (2, 2), stride=2) if self.stride == 2 else xset[i]
-            for j, cj in enumerate(self.out_split):
-                if cj == 0:
-                    continue
-                w = self.weight[oo[j]:oo[j + 1], io[i]:io[i + 1]]
-                sf = 2 ** (i - j)
-                if sf > 1:
-                    y = F.conv2d(x, w, None, 1, self.padding)
-                    y = F.interpolate(y, scale_factor=sf, mode="bilinear")
-                elif sf < 1:
-                    y = F.conv2d(F.max_pool2d(x, int(1 / sf), stride=int(1 / sf)),
-                                 w, None, 1, self.padding)
-                else:
-                    y = F.conv2d(x, w, None, 1, self.padding)
-                ys[j].append(y)
-        return [sum(v) if v else None for v in ys]
-
-
 @pytest.mark.parametrize(
     "in_split,out_split,k,stride",
     [((13, 10), (13, 12), 1, 1), ((3,), (13, 10), 3, 1),
      ((18, 12), (28, 21), 3, 2), ((51, 38, 64), (17, 38, 32), 1, 1)],
 )
-def test_goct_conv_matches_reference_semantics(in_split, out_split, k, stride):
+def test_goct_conv_matches_reference_semantics(in_split, out_split, k, stride,
+                                               ref_csnet):
+    """Oracle is the LIVE reference gOctaveConv class (csnet.py:954-1076),
+    driven with alpha fractions that int(round(...)) back to the exact
+    integer splits."""
     pad = 1 if k == 3 else 0
     h = 32
+    cin, cout = sum(in_split), sum(out_split)
     xs = []
     for i, c in enumerate(in_split):
         xs.append(RNG.standard_normal((2, c, h // 2**i, h // 2**i), dtype=np.float32))
-    w = RNG.standard_normal((sum(out_split), sum(in_split), k, k), dtype=np.float32) * 0.2
-    ref = _RefGOctConv(in_split, out_split, k, stride, pad, w)
-    want = ref([torch.from_numpy(x) for x in xs])
+    w = RNG.standard_normal((cout, cin, k, k), dtype=np.float32) * 0.2
+    conv = ref_csnet.gOctaveConv(
+        cin, cout, (k, k),
+        alpha_in=[c / cin for c in in_split],
+        alpha_out=[c / cout for c in out_split],
+        stride=stride, padding=pad, bias=False)
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(w))
+    want = conv([torch.from_numpy(x) for x in xs])
     got = goct_conv(
         [nhwc(x) for x in xs], jnp.asarray(w.transpose(2, 3, 1, 0)), None,
         in_split=in_split, out_split=out_split, stride=stride, padding=pad,
     )
     for j in range(len(out_split)):
-        np.testing.assert_allclose(nchw(got[j]), want[j].numpy(), atol=2e-4)
+        np.testing.assert_allclose(nchw(got[j]), want[j].detach().numpy(),
+                                   atol=2e-4)
