@@ -75,8 +75,9 @@ def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
                            batch_size=cfg.DATA.BATCH_SIZE)
     eval_step = make_eval_step(lc)
 
-    mesh = make_mesh(min(cfg.TPU.MESH_DEVICES or len(jax.devices()),
-                         len(jax.devices())))
+    from .common import data_mesh_for
+
+    mesh = data_mesh_for(cfg, cfg.DATA.BATCH_SIZE, log)
     trainable = replicate(trainable, mesh)
     state = replicate(state, mesh)
     opt_state = replicate(opt_state, mesh)

@@ -1,0 +1,140 @@
+"""Full-recipe smoke driver: train -> prune+finetune -> test -> eval.
+
+Usage:
+  python -m cli.smoke --dry-data [--save-dir DIR]        # synthetic dataset
+  python -m cli.smoke --data-root /path/to/datasets ...  # real DUTS-TR tree
+
+Purpose (real-data readiness): this container ships no SOD datasets, so the
+recipe is provable end-to-end only on synthetic DUTS-TR-shaped trees
+(images/*.jpg + GT/*.png, plus a test dataset directory). When a real
+dataset lands, point --data-root at a directory containing DUTS-TR/ (train),
+ECSSD/ (val+test) etc. and the exact same four-driver chain runs with zero
+plumbing changes — the checkpoint-relative accuracy tables (BASELINE.md
+parity gate) fall out of cli.eval's FmeasureResults files.
+
+Reference flow: train.py -> finetune.py --epoch N -> test.py -> eval.py
+(SURVEY.md section 3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import tempfile
+
+import numpy as np
+
+
+def make_dry_data(root: str, n_train: int = 12, n_test: int = 6,
+                  hw=(96, 128)) -> None:
+    """DUTS-TR/ECSSD-shaped synthetic directory tree with blobby saliency."""
+    import cv2
+
+    rng = np.random.default_rng(3)
+    for split, n in (("DUTS-TR", n_train), ("ECSSD", n_test)):
+        img_dir = os.path.join(root, split, "images")
+        gt_dir = os.path.join(root, split, "GT")
+        if os.path.isdir(img_dir) and len(os.listdir(img_dir)) >= n:
+            continue
+        os.makedirs(img_dir, exist_ok=True)
+        os.makedirs(gt_dir, exist_ok=True)
+        for i in range(n):
+            h = int(rng.integers(hw[0] - 20, hw[0] + 20))
+            w = int(rng.integers(hw[1] - 20, hw[1] + 20))
+            cy, cx = rng.integers(h // 4, 3 * h // 4), rng.integers(w // 4, 3 * w // 4)
+            yy, xx = np.mgrid[0:h, 0:w]
+            blob = ((yy - cy) ** 2 + (xx - cx) ** 2) < int(rng.integers(10, min(h, w) // 3)) ** 2
+            img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            img[blob] = [190, 70, 60]
+            cv2.imwrite(os.path.join(img_dir, f"d{i:03d}.jpg"), img)
+            cv2.imwrite(os.path.join(gt_dir, f"d{i:03d}.png"),
+                        (blob * 255).astype(np.uint8))
+
+
+def _print_log(msg, display: bool = True) -> None:
+    """print with the drivers' Logger(msg, display=...) calling convention."""
+    if display:
+        print(msg)
+
+
+def run_smoke(data_root: str, save_dir: str, *, train_epochs: int = 2,
+              finetune_epochs: int = 1, image_hw: int = 64,
+              batch_size: int = 4, log=_print_log) -> dict:
+    from sod100k_tpu.config import get_cfg
+
+    from .eval import run_eval
+    from .finetune import run_finetune
+    from .test import run_test
+    from .train import run_training
+
+    cfg = get_cfg()
+    cfg.TASK = "smoke"
+    cfg.PRINT_FREQ = 1
+    cfg.MODEL.BASIC_SPLIT = [0.5, 0.5]
+    cfg.LOSS.MLOSS = 1
+    cfg.DATA.DIR = os.path.join(data_root, "DUTS-TR")
+    cfg.DATA.BATCH_SIZE = batch_size
+    cfg.DATA.SAVEDIR = save_dir
+    cfg.DATA.IMAGE_H = cfg.DATA.IMAGE_W = image_hw
+    cfg.VAL.DIR = os.path.join(data_root, "ECSSD")
+    cfg.TEST.DATASET_PATH = data_root
+    cfg.TEST.DATASETS = ["ECSSD"]
+    cfg.TEST.IMAGE_H = cfg.TEST.IMAGE_W = image_hw
+    cfg.AUTO.ENABLE = True
+    cfg.AUTO.EXPAND = 1.0
+    cfg.AUTO.FLOPS.ENABLE = True
+    cfg.AUTO.FLOPS.WEIGHT = 3.0
+    cfg.SOLVER.METHOD = "Adam_dynamic_weight_decay"
+    cfg.SOLVER.LR = 1e-3
+    cfg.FINETUNE.THRES = 1e-6
+
+    log(f"[smoke 1/4] train {train_epochs} epochs on {cfg.DATA.DIR}")
+    trained = run_training(cfg, max_epochs=train_epochs, log=log)
+
+    log(f"[smoke 2/4] prune + finetune from epoch {train_epochs}")
+    ft = run_finetune(cfg, from_epoch=train_epochs,
+                      max_epochs=finetune_epochs, log=log)
+
+    log("[smoke 3/4] test (saliency PNG dump)")
+    c = cfg.clone()
+    c.TEST.CHECKPOINT = os.path.join(
+        cfg.DATA.SAVEDIR, "smoke", "checkpoint",
+        f"checkpoint_epoch{train_epochs}.pth.tar")
+    c.TEST.MODEL_CONFIG = os.path.join(
+        cfg.DATA.SAVEDIR, "smoke", "layer_configs", "layer_config_0.bin")
+    tested = run_test(c, log=log)
+
+    log("[smoke 4/4] eval (MAE / Max-F)")
+    best = run_eval(c, epoch_range=(tested["epoch"], tested["epoch"] + 1),
+                    log=log)
+    ok = (trained["best_epoch"] >= 1 and np.isfinite(trained["best_mae"])
+          and os.path.isdir(ft["ft_dir"]) and bool(best))
+    log(f"[smoke] {'OK' if ok else 'FAILED'}: best_mae={trained['best_mae']:.4f} "
+        f"eval={best}")
+    return {"ok": ok, "trained": trained, "finetuned": ft, "eval": best}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="full-recipe smoke run")
+    ap.add_argument("--dry-data", action="store_true",
+                    help="synthesize a DUTS-TR/ECSSD-shaped tree")
+    ap.add_argument("--data-root", default=None,
+                    help="existing dataset root (overrides --dry-data)")
+    ap.add_argument("--save-dir", default=None)
+    ap.add_argument("--train-epochs", type=int, default=2)
+    ap.add_argument("--image-hw", type=int, default=64)
+    args = ap.parse_args()
+    if not args.data_root and not args.dry_data:
+        raise SystemExit("pass --data-root DIR or --dry-data")
+    data_root = args.data_root
+    if data_root is None:
+        data_root = os.path.join(tempfile.gettempdir(), "sod100k_dry_data")
+        make_dry_data(data_root)
+    save_dir = args.save_dir or tempfile.mkdtemp(prefix="sod_smoke_")
+    out = run_smoke(data_root, save_dir, train_epochs=args.train_epochs,
+                    image_hw=args.image_hw)
+    raise SystemExit(0 if out["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()
