@@ -36,9 +36,10 @@ def batchnorm_train(x: jax.Array, p: dict) -> tuple[jax.Array, dict]:
     """Train-mode batchnorm: normalize by batch stats, return updated running stats.
 
     Statistics are computed in float32 regardless of activation dtype. Under
-    data parallelism the caller is responsible for wrapping the reduction in
-    psum if cross-replica stats are desired; the reference is single-device so
-    per-shard stats + running-average merge is the faithful default.
+    jit over a mesh with the batch sharded, GSPMD turns these jnp.mean
+    reductions into cross-replica (global-batch) statistics automatically —
+    verified equal to single-device math in tests/test_train.py (DP step
+    equivalence); no explicit psum is needed or wanted here.
     """
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=(0, 1, 2))

@@ -169,3 +169,60 @@ def test_dynamic_wd_penalty_matches_reference_hooks():
     fw = dynamic_wd.flop_weight_map(LC, 2.0)
     got = float(dynamic_wd.penalty(trainable, ctx.gap, fw, batch_size=4))
     assert got == pytest.approx(want, rel=1e-4)
+
+
+def test_bf16_training_prunes_same_architecture_as_f32():
+    """bf16-compute training (mixed precision: bf16 activations, f32 params/
+    BN/loss/optimizer) must drive the dynamic-weight-decay pruning signal to
+    the same architecture decision as f32 on the synthetic fixture — the
+    gate for serving the bf16 recipe (dynamic-wd semantics csnet.py:391-410).
+    """
+    import numpy as np
+
+    from sod100k_tpu.arch.csnet import csnet_init
+    from sod100k_tpu.arch.layer_config import init_layers
+    from sod100k_tpu.prune.finetune import prune
+    from sod100k_tpu.train.optim import make_adam_dwd
+    from sod100k_tpu.train.params import partition
+    from sod100k_tpu.train.step import make_train_step
+
+    lc = init_layers(8, [0.5, 0.5])
+    rng = np.random.default_rng(0)
+    n_steps, bsz = 16, 4
+    batches = [
+        {"image": jnp.asarray(rng.standard_normal((bsz, 64, 64, 3),
+                                                  dtype=np.float32)),
+         "target": jnp.asarray((rng.random((bsz, 64, 64, 1)) > 0.5
+                                ).astype(np.float32))}
+        for _ in range(n_steps)
+    ]
+
+    def train(compute_dtype):
+        params = csnet_init(jax.random.key(7), lc)
+        trainable, state = partition(params)
+        tx = make_adam_dwd(trainable, weight_decay=5e-3)
+        opt_state = tx.init(trainable)
+        step = make_train_step(lc, tx, flops_weight=3.0, flops_expand=1.0,
+                               batch_size=bsz, donate=False,
+                               compute_dtype=compute_dtype)
+        for b in batches:
+            trainable, state, opt_state, m = step(
+                trainable, state, opt_state, b,
+                jnp.float32(1e-3), jnp.float32(1.0))
+        from sod100k_tpu.train.params import merge
+
+        return merge(trainable, state), float(m["loss"])
+
+    params_f32, loss_f32 = train(None)
+    params_bf16, loss_bf16 = train(jnp.bfloat16)
+    # losses track closely (mixed precision keeps f32 accumulation)
+    assert loss_bf16 == pytest.approx(loss_f32, rel=0.05)
+
+    _, lc_f32, masks_f32 = prune(params_f32, lc, 1e-6)
+    _, lc_bf16, masks_bf16 = prune(params_bf16, lc, 1e-6)
+    assert lc_f32.entries == lc_bf16.entries
+    # per-layer per-branch surviving-channel masks agree exactly
+    for mf, mb in zip(masks_f32, masks_bf16):
+        assert len(mf) == len(mb)
+        for bf, bb in zip(mf, mb):
+            np.testing.assert_array_equal(np.asarray(bf), np.asarray(bb))
