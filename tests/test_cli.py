@@ -169,3 +169,32 @@ def test_cli_orbax_save_and_resume(cfg, trained):
     assert os.path.exists(os.path.join(c.DATA.SAVEDIR, "synth_orbax",
                                        "checkpoint",
                                        "checkpoint_epoch2.pth.tar"))
+
+
+def test_cli_testall_sweep_and_best_epoch(cfg, trained):
+    """TEST.TESTALL traverses checkpoint_epoch{BEGIN,+INTERVAL,...} and eval
+    tracks the best epoch by Max-F across the range (reference test/eval
+    epoch-range protocol, eval.py:34-76)."""
+    from cli.eval import run_eval
+    from cli.test import run_testall
+
+    c = cfg.clone()
+    c.TEST.BEGIN = 1
+    c.TEST.INTERVAL = 1
+    c.TEST.MODEL_CONFIG = os.path.join(c.DATA.SAVEDIR, "synth",
+                                       "layer_configs", "layer_config_0.bin")
+    runs = run_testall(c, log=lambda *a, **k: None)
+    # epochs 1 and 2 exist from the trained fixture (3 may exist from the
+    # resume test depending on order; accept >= 2 sweeps)
+    epochs = [r["epoch"] for r in runs]
+    assert epochs[:2] == [1, 2]
+    for r in runs:
+        assert len(os.listdir(r["datasets"]["ECSSD"]["sal_dir"])) == 8
+
+    best = run_eval(c, epoch_range=(1, max(epochs) + 1),
+                    log=lambda *a, **k: None)
+    assert best["ECSSD"]["epoch"] in epochs
+    # pair lists dumped for every evaluated epoch (eval.py:52-59 artifact)
+    for e in epochs:
+        assert os.path.isfile(os.path.join(c.DATA.SAVEDIR, "synth",
+                                           f"val_ECSSD_{e}.txt"))

@@ -94,3 +94,21 @@ def test_csf_matches_reference_torch():
     got = np.asarray(csf_apply(jax.tree.map(jnp.asarray, params),
                                jnp.asarray(x.transpose(0, 2, 3, 1))))[..., 0]
     assert np.abs(got - want).max() < 1e-4, np.abs(got - want).max()
+
+
+def test_fetch_res2net_weights_offline_and_cache(tmp_path):
+    """Offline -> None (no crash); an already-cached file short-circuits
+    without touching the network (reference csf_res2net.py:15-18 download)."""
+    from sod100k_tpu.arch.csf_res2net import RES2NET_URLS, fetch_res2net_weights
+
+    # zero-egress container: the download must fail gracefully and fast-ish
+    out = fetch_res2net_weights("res2net50", cache_dir=str(tmp_path),
+                                timeout=0.25)
+    assert out is None
+    assert not any(p.name.endswith(".part") for p in tmp_path.iterdir())
+
+    fname = RES2NET_URLS["res2net50"].rsplit("/", 1)[1]
+    (tmp_path / fname).write_bytes(b"cached")
+    out = fetch_res2net_weights("res2net50", cache_dir=str(tmp_path),
+                                timeout=0.25)
+    assert out == str(tmp_path / fname)
