@@ -178,6 +178,9 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
                          seed=cfg.TPU.SEED + epoch, num_threads=cfg.DATA.WORKERS)
         losses, pens, nb = 0.0, 0.0, 0
         aug_key = jax.random.key(cfg.TPU.SEED * 1_000_003 + epoch)
+        profiling = bool(cfg.TPU.PROFILE_DIR) and epoch == start_epoch
+        if profiling:
+            jax.profiler.start_trace(cfg.TPU.PROFILE_DIR)
         for batch in device_prefetch(it, mesh=mesh):
             if preprocess == "device":
                 from sod100k_tpu.data.device_pipeline import preprocess_train_batch
@@ -195,11 +198,20 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
                 jnp.float32(lr), penalty_on,
             )
             nb += 1
+            if profiling and nb >= cfg.TPU.PROFILE_STEPS:
+                float(m["loss"])  # drain the traced steps before stopping
+                jax.profiler.stop_trace()
+                profiling = False
+                log(f"profiler trace written to {cfg.TPU.PROFILE_DIR}")
             if nb % cfg.PRINT_FREQ == 0:
                 losses, pens = float(m["loss"]), float(m["penalty"])
                 log(f"Epoch: [{epoch + 1}][{nb}]\tLoss {losses:.4f}\t"
                     f"FakeFLOPs {pens:.3f}")
 
+        if profiling:  # epoch shorter than PROFILE_STEPS
+            jax.profiler.stop_trace()
+            profiling = False
+            log(f"profiler trace written to {cfg.TPU.PROFILE_DIR}")
         if nb:
             # value readback, not block_until_ready: over the axon tunnel the
             # latter can ack at dispatch, before device execution finishes

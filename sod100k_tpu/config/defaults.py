@@ -132,6 +132,12 @@ _C.TPU.ORBAX = False
 #             and the link is wide (real TPU hosts; on the tunnel the
 #             padded native-size bytes cost more than they save).
 _C.TPU.PREPROCESS = "hybrid"
+# when set, capture a jax.profiler trace of the first training steps of the
+# first epoch into this directory (open with xprof/tensorboard; the TPU
+# counterpart of the reference's wall-clock AverageMeter + simplesum hooks)
+_C.TPU.PROFILE_DIR = ""
+# how many steps the trace spans
+_C.TPU.PROFILE_STEPS = 3
 
 
 def get_cfg() -> CN:

@@ -156,10 +156,14 @@ def test_cli_orbax_save_and_resume(cfg, trained):
     c.TASK = "synth_orbax"
     c.TPU.ORBAX = True
     c.TPU.PREPROCESS = "device"  # also covers the device front-end driver path
+    c.TPU.PROFILE_DIR = os.path.join(c.DATA.SAVEDIR, "trace")  # and profiling
     run_training(c, max_epochs=1, log=lambda *a, **k: None)
     odir = os.path.join(c.DATA.SAVEDIR, "synth_orbax", "checkpoint",
                         "orbax_epoch1")
     assert os.path.isdir(odir)
+    # the profiler trace captured the first steps (TPU.PROFILE_DIR)
+    assert any(f.endswith((".pb", ".json.gz", ".xplane.pb"))
+               for _, _, fs in os.walk(c.TPU.PROFILE_DIR) for f in fs)
 
     c2 = c.clone()
     c2.TPU.ORBAX = False
