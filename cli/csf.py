@@ -71,7 +71,12 @@ def _load_params(config, log=print):
     if config.load:
         loaded, _ = load_checkpoint(config.load)
         params = merge(params, loaded)  # strict=False semantics
-    elif config.pretrained_model and os.path.isfile(config.pretrained_model):
+    elif config.pretrained_model:
+        # an explicitly-given path must exist — silently training from
+        # random init after a typo would waste the whole run
+        if not os.path.isfile(config.pretrained_model):
+            raise SystemExit(
+                f"--pretrained_model not found: {config.pretrained_model}")
         params = load_res2net_backbone(params, config.pretrained_model)
     else:
         # reference downloads the published ImageNet weights when no local

@@ -27,7 +27,7 @@ from sod100k_tpu.arch.csnet import count_params
 from sod100k_tpu.arch.layer_config import LayerConfig
 from sod100k_tpu.config import get_cfg
 from sod100k_tpu.data.pipeline import SalData, batches, device_prefetch
-from sod100k_tpu.parallel.mesh import make_mesh, replicate
+from sod100k_tpu.parallel.mesh import replicate
 from sod100k_tpu.prune.finetune import prune
 from sod100k_tpu.train.optim import cosine_lr, make_adam, make_sgd, multistep_lr
 from sod100k_tpu.train.params import merge, partition

@@ -28,27 +28,11 @@ import numpy as np
 def make_dry_data(root: str, n_train: int = 12, n_test: int = 6,
                   hw=(96, 128)) -> None:
     """DUTS-TR/ECSSD-shaped synthetic directory tree with blobby saliency."""
-    import cv2
+    from sod100k_tpu.data.synth import make_synth_split
 
-    rng = np.random.default_rng(3)
-    for split, n in (("DUTS-TR", n_train), ("ECSSD", n_test)):
-        img_dir = os.path.join(root, split, "images")
-        gt_dir = os.path.join(root, split, "GT")
-        if os.path.isdir(img_dir) and len(os.listdir(img_dir)) >= n:
-            continue
-        os.makedirs(img_dir, exist_ok=True)
-        os.makedirs(gt_dir, exist_ok=True)
-        for i in range(n):
-            h = int(rng.integers(hw[0] - 20, hw[0] + 20))
-            w = int(rng.integers(hw[1] - 20, hw[1] + 20))
-            cy, cx = rng.integers(h // 4, 3 * h // 4), rng.integers(w // 4, 3 * w // 4)
-            yy, xx = np.mgrid[0:h, 0:w]
-            blob = ((yy - cy) ** 2 + (xx - cx) ** 2) < int(rng.integers(10, min(h, w) // 3)) ** 2
-            img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
-            img[blob] = [190, 70, 60]
-            cv2.imwrite(os.path.join(img_dir, f"d{i:03d}.jpg"), img)
-            cv2.imwrite(os.path.join(gt_dir, f"d{i:03d}.png"),
-                        (blob * 255).astype(np.uint8))
+    for split, n, seed in (("DUTS-TR", n_train, 3), ("ECSSD", n_test, 4)):
+        make_synth_split(os.path.join(root, split), n, hw=hw, jitter=15,
+                         seed=seed)
 
 
 def _print_log(msg, display: bool = True) -> None:
@@ -108,7 +92,10 @@ def run_smoke(data_root: str, save_dir: str, *, train_epochs: int = 2,
     best = run_eval(c, epoch_range=(tested["epoch"], tested["epoch"] + 1),
                     log=log)
     ok = (trained["best_epoch"] >= 1 and np.isfinite(trained["best_mae"])
-          and os.path.isdir(ft["ft_dir"]) and bool(best))
+          and os.path.isdir(ft["ft_dir"])
+          # eval must have actually scored the tested epoch (run_eval returns
+          # epoch=-1 when no sal/gt pairs were found)
+          and all(v["epoch"] >= 0 and v["max_f"] > 0.0 for v in best.values()))
     log(f"[smoke] {'OK' if ok else 'FAILED'}: best_mae={trained['best_mae']:.4f} "
         f"eval={best}")
     return {"ok": ok, "trained": trained, "finetuned": ft, "eval": best}

@@ -53,7 +53,7 @@ def run_test(cfg, log=print) -> dict:
     batch_size = max(cfg.DATA.BATCH_SIZE, 1) if fixed else 1
     # front-end placement (fixed-size mode only: the ceil-to-16 mode has a
     # per-image output shape, so its resize stays on host like the reference)
-    mode = cfg.TPU.PREPROCESS if fixed else "host"
+    mode = cfg.TPU.TEST_PREPROCESS if fixed else "host"
     dev_pre = mode == "device"
     hyb_pre = mode == "hybrid"
     if dev_pre or hyb_pre:

@@ -27,8 +27,7 @@ from sod100k_tpu.data.pipeline import (
     hybrid_batches,
     raw_batches,
 )
-from sod100k_tpu.interop.torch_ckpt import state_dict_to_pytree
-from sod100k_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from sod100k_tpu.parallel.mesh import replicate
 from sod100k_tpu.train.optim import make_adam, make_adam_dwd, multistep_lr
 from sod100k_tpu.train.params import merge, partition
 from sod100k_tpu.train.step import make_eval_step, make_train_step
@@ -45,10 +44,10 @@ from .common import (
 
 def _restore_opt_state(fresh_opt_state, loaded, log):
     """Rebuild the optax state from checkpointed leaves, validating the leaf
-    list (count + shape/dtype pairwise) against the freshly-initialized state
-    before trusting unflatten — leaf order is optax-version-dependent, so a
-    silent mismatch would corrupt moments. Falls back to the fresh state with
-    a logged warning."""
+    list (count + shape + dtype pairwise) against the freshly-initialized
+    state before trusting unflatten — leaf order is optax-version-dependent,
+    so a silent mismatch would corrupt moments. Falls back to the fresh state
+    with a logged warning."""
     fresh_leaves = jax.tree.leaves(fresh_opt_state)
     loaded_leaves = jax.tree.leaves(loaded)
     if len(fresh_leaves) != len(loaded_leaves):
@@ -59,6 +58,11 @@ def _restore_opt_state(fresh_opt_state, loaded, log):
         if tuple(np.shape(f)) != tuple(np.shape(l)):
             log(f"optimizer state incompatible (leaf {i} shape "
                 f"{np.shape(l)} != {np.shape(f)}); reinitialized")
+            return fresh_opt_state
+        if np.asarray(l).dtype != np.asarray(f).dtype:
+            log(f"optimizer state incompatible (leaf {i} dtype "
+                f"{np.asarray(l).dtype} != {np.asarray(f).dtype}); "
+                "reinitialized")
             return fresh_opt_state
     try:
         return jax.tree.unflatten(jax.tree.structure(fresh_opt_state),

@@ -132,6 +132,11 @@ _C.TPU.ORBAX = False
 #             and the link is wide (real TPU hosts; on the tunnel the
 #             padded native-size bytes cost more than they save).
 _C.TPU.PREPROCESS = "hybrid"
+# front-end placement for the INFERENCE driver (cli.test). Defaults to the
+# reference-parity host path ("host": float resize, prepare_data dialect) so
+# accuracy tables measure the reference protocol; "hybrid"/"device" opt into
+# the faster uint8 front-ends for serving (sub-1/255 input perturbation).
+_C.TPU.TEST_PREPROCESS = "host"
 # when set, capture a jax.profiler trace of the first training steps of the
 # first epoch into this directory (open with xprof/tensorboard; the TPU
 # counterpart of the reference's wall-clock AverageMeter + simplesum hooks)

@@ -125,6 +125,7 @@ def test_cli_test_and_eval(cfg, trained):
     from cli.test import run_test
 
     c = cfg.clone()
+    c.TPU.TEST_PREPROCESS = "hybrid"  # covers the u8 inference front-end
     c.TEST.CHECKPOINT = os.path.join(c.DATA.SAVEDIR, "synth", "checkpoint",
                                      "checkpoint_epoch2.pth.tar")
     c.TEST.MODEL_CONFIG = os.path.join(c.DATA.SAVEDIR, "synth",
@@ -183,6 +184,7 @@ def test_cli_testall_sweep_and_best_epoch(cfg, trained):
     from cli.test import run_testall
 
     c = cfg.clone()
+    c.TPU.TEST_PREPROCESS = "device"  # covers the decode-only inference front-end
     c.TEST.BEGIN = 1
     c.TEST.INTERVAL = 1
     c.TEST.MODEL_CONFIG = os.path.join(c.DATA.SAVEDIR, "synth",

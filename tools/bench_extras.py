@@ -17,9 +17,9 @@ Entries:
   solver.py:76-77 speed test is inference FPS; we record both the B=1
   protocol step and a B=8 throughput step).
 - End-to-end cli.train epoch throughput on a synthetic DUTS-TR-shaped
-  directory (300x400 JPEGs), device-side vs host-side preprocessing
-  (TPU.DEVICE_PREPROCESS) — the host pipeline is the measured end-to-end
-  bottleneck on this single-core host.
+  directory (300x400 JPEGs) for each TPU.PREPROCESS placement
+  (hybrid / device / host) — the host->device link and the single host
+  core are the end-to-end constraints on this machine.
 """
 
 from __future__ import annotations
@@ -31,16 +31,14 @@ import sys
 import time
 
 import jax
-
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-
-import jax.numpy as jnp  # noqa: E402
-import numpy as np  # noqa: E402
+import jax.numpy as jnp
+import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cli.common import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 RPC_LATENCY_S = 0.035
 REPEATS = 3
@@ -157,26 +155,9 @@ def bench_csf_steps(entries: list) -> None:
 
 def make_synth_duts(root: str, n: int = 240) -> str:
     """DUTS-TR-shaped synthetic set: 300x400/400x300 JPEGs + GT PNGs."""
-    import cv2
+    from sod100k_tpu.data.synth import make_synth_split
 
-    img_dir = os.path.join(root, "images")
-    gt_dir = os.path.join(root, "GT")
-    if os.path.isdir(img_dir) and len(os.listdir(img_dir)) == n:
-        return root
-    os.makedirs(img_dir, exist_ok=True)
-    os.makedirs(gt_dir, exist_ok=True)
-    rng = np.random.default_rng(7)
-    for i in range(n):
-        h, w = (300, 400) if i % 2 else (400, 300)
-        cy, cx = rng.integers(80, h - 80), rng.integers(80, w - 80)
-        yy, xx = np.mgrid[0:h, 0:w]
-        blob = ((yy - cy) ** 2 + (xx - cx) ** 2) < int(rng.integers(40, 90)) ** 2
-        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
-        img[blob] = [190, 70, 60]
-        cv2.imwrite(os.path.join(img_dir, f"b{i:04d}.jpg"), img)
-        cv2.imwrite(os.path.join(gt_dir, f"b{i:04d}.png"),
-                    (blob * 255).astype(np.uint8))
-    return root
+    return make_synth_split(root, n, hw=(400, 300))
 
 
 def bench_e2e_train(entries: list, data_root: str) -> None:
