@@ -32,6 +32,32 @@ def test_spatial_sharded_forward_matches_single_device():
     np.testing.assert_allclose(out, ref, atol=5e-4)
 
 
+def test_csf_spatial_sharded_forward_matches_single_device():
+    """The second model family under the 2-D mesh: Res2Net's strided stem /
+    bottlenecks and the CSF head's interpolate-to-shape octave resampling
+    must survive H-axis GSPMD partitioning (halo exchanges) bit-closely.
+
+    eval-mode BN (running stats) so the forward is deterministic; 64px input
+    keeps the deepest feature map at 2x2 — the spatial shards become
+    degenerate there, which is exactly the hard case for halo logic."""
+    from sod100k_tpu.arch.csf_res2net import csf_apply, csf_init
+
+    params = csf_init(jax.random.key(1))
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (2, 64, 64, 3), dtype=np.float32))
+
+    def fwd(p, v):
+        return csf_apply(p, v, "res2net50")
+
+    ref = np.asarray(fwd(params, x))
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "spatial"))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "spatial")))
+    ps = jax.device_put(params, NamedSharding(mesh, P()))
+    out = np.asarray(jax.jit(
+        fwd, out_shardings=NamedSharding(mesh, P("data", "spatial")))(ps, xs))
+    np.testing.assert_allclose(out, ref, atol=5e-4)
+
+
 def test_orbax_round_trip_with_sharded_arrays(tmp_path):
     from sod100k_tpu.parallel.mesh import make_mesh, replicate
     from sod100k_tpu.train.checkpoint import restore_native, save_native

@@ -69,6 +69,68 @@ def _timed_chain(step_once, carry, k: int = 8) -> tuple[float, object]:
     return max(best - RPC_LATENCY_S, 1e-9) / k, carry
 
 
+def bench_inference_latency(entries: list) -> None:
+    """Single-image serving latency (B=1): CSNet-L-x2 @224 bf16 and
+    CSF+Res2Net-50 @336 bf16 (the reference's FPS speed-test protocol is
+    per-image, solver.py:76-77). Sub-ms/ms-scale programs, so K iterations
+    are chained inside ONE lax.scan dispatch like bench.py."""
+    import time
+
+    from jax import lax
+
+    def scan_latency(fn, x0, k=50):
+        def body(x, _):
+            y = fn(x)
+            return x + y.mean().astype(x.dtype) * 1e-6, ()
+
+        run = jax.jit(lambda v: jnp.sum(
+            lax.scan(body, v, None, length=k)[0].astype(jnp.float32)))
+        float(run(x0))  # compile + warm
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            float(run(x0))
+            best = min(best, time.perf_counter() - t0)
+        return max(best - RPC_LATENCY_S, 1e-9) / k
+
+    # CSNet-L-x2 (shipped checkpoint arch when available)
+    from sod100k_tpu.arch.csnet import csnet_apply, csnet_init
+    from sod100k_tpu.arch.layer_config import LayerConfig, init_layers
+    from sod100k_tpu.ops.goct import ApplyCtx
+
+    stem = "/root/reference/CSNet/checkpoints/csnet-L-x2/csnet-L-x2"
+    if os.path.exists(stem + ".bin"):
+        from sod100k_tpu.interop.torch_ckpt import load_checkpoint
+
+        lc = LayerConfig.load(stem + ".bin")
+        params, _ = load_checkpoint(stem + ".pth.tar")
+    else:
+        lc = init_layers(40, [0.5, 0.5])
+        params = csnet_init(jax.random.key(0), lc)
+    p16 = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (1, 224, 224, 3), dtype=np.float32), jnp.bfloat16)
+    ms = scan_latency(
+        lambda v: jax.nn.sigmoid(csnet_apply(p16, v, lc, ApplyCtx())), x) * 1e3
+    print(f"# csnet B=1 224 bf16 latency: {ms:.3f} ms "
+          f"({1e3 / ms:.0f} img/s serial)", file=sys.stderr)
+    entries.append({"metric": "csnet_l_x2_224_infer_latency_ms[bf16,B=1]",
+                    "value": round(ms, 3), "unit": "ms"})
+
+    from sod100k_tpu.arch.csf_res2net import csf_apply, csf_init
+
+    cparams = csf_init(jax.random.key(3))
+    c16 = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), cparams)
+    xc = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (1, 336, 336, 3), dtype=np.float32), jnp.bfloat16)
+    ms = scan_latency(
+        lambda v: jax.nn.sigmoid(csf_apply(c16, v, "res2net50")), xc, k=25) * 1e3
+    print(f"# csf_res2net50 B=1 336 bf16 latency: {ms:.3f} ms "
+          f"({1e3 / ms:.0f} FPS)", file=sys.stderr)
+    entries.append({"metric": "csf_res2net50_336_infer_latency_ms[bf16,B=1]",
+                    "value": round(ms, 3), "unit": "ms"})
+
+
 def bench_csnet_train_steps(entries: list) -> None:
     from sod100k_tpu.arch.csnet import csnet_init
     from sod100k_tpu.arch.layer_config import init_layers
@@ -196,10 +258,13 @@ def main() -> None:
     ap.add_argument("--skip-e2e", action="store_true")
     ap.add_argument("--skip-csf", action="store_true")
     ap.add_argument("--skip-step", action="store_true")
+    ap.add_argument("--skip-latency", action="store_true")
     ap.add_argument("--data-dir", default="/tmp/sod100k_bench_data")
     args = ap.parse_args()
 
     entries: list = []
+    if not args.skip_latency:
+        bench_inference_latency(entries)
     if not args.skip_step:
         bench_csnet_train_steps(entries)
     if not args.skip_csf:
@@ -209,9 +274,19 @@ def main() -> None:
 
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "bench_extras.json")
+    # merge by metric name so partial (--skip-*) runs refresh their rows
+    # without clobbering the rest
+    merged: dict = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                merged = {e["metric"]: e for e in json.load(f)["entries"]}
+        except Exception:
+            merged = {}
+    merged.update({e["metric"]: e for e in entries})
     with open(out, "w") as f:
         json.dump({"device": jax.devices()[0].platform,
-                   "entries": entries}, f, indent=1)
+                   "entries": list(merged.values())}, f, indent=1)
     print(json.dumps(entries))
 
 
