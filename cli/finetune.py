@@ -26,7 +26,12 @@ import numpy as np
 from sod100k_tpu.arch.csnet import count_params
 from sod100k_tpu.arch.layer_config import LayerConfig
 from sod100k_tpu.config import get_cfg
-from sod100k_tpu.data.pipeline import SalData, batches, device_prefetch
+from sod100k_tpu.data.pipeline import (
+    SalData,
+    batches,
+    device_prefetch,
+    hybrid_batches,
+)
 from sod100k_tpu.parallel.mesh import replicate
 from sod100k_tpu.prune.finetune import prune
 from sod100k_tpu.train.optim import cosine_lr, make_adam, make_sgd, multistep_lr
@@ -71,8 +76,12 @@ def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
         tx = make_adam(weight_decay=sol.WEIGHT_DECAY)
     opt_state = tx.init(trainable)
 
+    hybrid = cfg.TPU.PREPROCESS == "hybrid"
     step = make_train_step(lc, tx, flops_weight=0.0,
-                           batch_size=cfg.DATA.BATCH_SIZE)
+                           batch_size=cfg.DATA.BATCH_SIZE,
+                           from_u8=hybrid,
+                           compute_dtype=jnp.bfloat16
+                           if cfg.TPU.DTYPE == "bfloat16" else None)
     eval_step = make_eval_step(lc)
 
     from .common import data_mesh_for
@@ -99,13 +108,22 @@ def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
         else:
             lr = sol.LR
         log(f"lr: {lr}")
-        it = batches(train_ds, cfg.DATA.BATCH_SIZE, shuffle=True,
-                     seed=cfg.TPU.SEED + epoch, num_threads=cfg.DATA.WORKERS)
+        if hybrid:
+            # same uint8 host aug/resize + fused normalize as cli.train
+            it = hybrid_batches(train_ds, cfg.DATA.BATCH_SIZE, shuffle=True,
+                                seed=cfg.TPU.SEED + epoch,
+                                num_threads=cfg.DATA.WORKERS)
+        else:
+            it = batches(train_ds, cfg.DATA.BATCH_SIZE, shuffle=True,
+                         seed=cfg.TPU.SEED + epoch,
+                         num_threads=cfg.DATA.WORKERS)
         nb = 0
         for batch in device_prefetch(it, mesh=mesh):
+            feed = ({"image": batch["image_u8"], "target": batch["target_u8"]}
+                    if hybrid else
+                    {"image": batch["image"], "target": batch["target"]})
             trainable, state, opt_state, m = step(
-                trainable, state, opt_state,
-                {"image": batch["image"], "target": batch["target"]},
+                trainable, state, opt_state, feed,
                 jnp.float32(lr), jnp.float32(0.0),
             )
             nb += 1
