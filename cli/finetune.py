@@ -94,9 +94,11 @@ def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
     ft_dir = os.path.join(dirs["base"], f"finetune_checkpoint_epoch{from_epoch}")
     os.makedirs(ft_dir, exist_ok=True)
     train_ds = SalData(cfg.DATA.DIR, (cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W),
-                       mode="train", seed=cfg.TPU.SEED)
+                       mode="train", seed=cfg.TPU.SEED,
+                       cache=cfg.TPU.DATA_CACHE)
     val_ds = SalData(cfg.VAL.DIR, (cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W),
-                     mode="val") if cfg.VAL.DIR else None
+                     mode="val", cache=cfg.TPU.DATA_CACHE) \
+        if cfg.VAL.DIR else None
 
     best_mae, best_epoch = float("inf"), -1
     epochs = max_epochs if max_epochs is not None else sol.MAX_EPOCHS

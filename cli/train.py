@@ -143,9 +143,11 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
     opt_state = replicate(opt_state, mesh)
 
     train_ds = SalData(cfg.DATA.DIR, (cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W),
-                       mode="train", seed=cfg.TPU.SEED)
+                       mode="train", seed=cfg.TPU.SEED,
+                       cache=cfg.TPU.DATA_CACHE)
     val_ds = SalData(cfg.VAL.DIR, (cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W),
-                     mode="val") if cfg.VAL.DIR else None
+                     mode="val", cache=cfg.TPU.DATA_CACHE) \
+        if cfg.VAL.DIR else None
 
     best_mae, best_epoch = float("inf"), -1
     epochs = max_epochs if max_epochs is not None else cfg.SOLVER.MAX_EPOCHS

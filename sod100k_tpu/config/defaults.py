@@ -137,6 +137,10 @@ _C.TPU.PREPROCESS = "hybrid"
 # accuracy tables measure the reference protocol; "hybrid"/"device" opt into
 # the faster uint8 front-ends for serving (sub-1/255 input perturbation).
 _C.TPU.TEST_PREPROCESS = "host"
+# keep decoded uint8 images in RAM across epochs (~18 bytes per pixel-pair;
+# DUTS-TR ~4.3 GB). JPEG decode dominates single-core host time and the
+# reference re-decodes every epoch; disable on RAM-constrained hosts.
+_C.TPU.DATA_CACHE = True
 # when set, capture a jax.profiler trace of the first training steps of the
 # first epoch into this directory (open with xprof/tensorboard; the TPU
 # counterpart of the reference's wall-clock AverageMeter + simplesum hooks)

@@ -47,15 +47,6 @@ def _imread_rgb(path: str) -> np.ndarray:
     return img.astype(np.float32) / np.float32(255.0)
 
 
-def _imread_gray(path: str) -> np.ndarray:
-    import cv2
-
-    g = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
-    if g is None:
-        raise FileNotFoundError(path)
-    return g.astype(np.float32) / np.float32(255.0)
-
-
 def _imread_rgb_u8(path: str) -> np.ndarray:
     """Decode-only reader for the device front-end: uint8 RGB HWC with the
     same grayscale->3-channel / drop-alpha promotion as _imread_rgb."""
@@ -130,10 +121,17 @@ class Augment:
 
 
 class SalData:
-    """images/*.jpg + GT/*.png dataset (prepare_data.py:91-139)."""
+    """images/*.jpg + GT/*.png dataset (prepare_data.py:91-139).
+
+    cache=True keeps the DECODED uint8 image/GT pairs in RAM after first
+    touch (~18 bytes/pixel-pair; DUTS-TR 10k images @300x400 ~ 4.3 GB).
+    JPEG decode dominates host time on a single-core host and the
+    augmentation stays per-epoch random, so epochs 2+ skip straight to
+    crop/flip/resize. The reference re-decodes every epoch."""
 
     def __init__(self, data_dir: str, size: tuple[int, int],
-                 augmentation: bool = True, mode: str = "train", seed: int = 0):
+                 augmentation: bool = True, mode: str = "train", seed: int = 0,
+                 cache: bool = False):
         img_dir = os.path.join(data_dir, "images")
         if not os.path.isdir(img_dir):
             raise ValueError(
@@ -143,6 +141,20 @@ class SalData:
         self.size = size
         self.mode = mode
         self.aug = Augment(seed=seed) if (augmentation and mode == "train") else None
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] | None = (
+            {} if cache else None)
+
+    def _decode_u8(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
+        """uint8 (image HWC, gt HW) at native resolution, RAM-cached."""
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
+        stem = self.stems[idx]
+        img = _imread_rgb_u8(os.path.join(self.data_dir, "images",
+                                          f"{stem}.{self.img_ext}"))
+        gt = _imread_gray_u8(os.path.join(self.data_dir, "GT", f"{stem}.png"))
+        if self._cache is not None:
+            self._cache[idx] = (img, gt)
+        return img, gt
 
     def __len__(self) -> int:
         return len(self.stems)
@@ -150,10 +162,7 @@ class SalData:
     def raw_item(self, idx: int) -> dict:
         """Decode-only sample for the device front-end: uint8 image/GT at
         native resolution (the host does no resize/normalize work)."""
-        stem = self.stems[idx]
-        img = _imread_rgb_u8(os.path.join(self.data_dir, "images",
-                                          f"{stem}.{self.img_ext}"))
-        gt = _imread_gray_u8(os.path.join(self.data_dir, "GT", f"{stem}.png"))
+        img, gt = self._decode_u8(idx)
         return {"image_u8": img, "gt_u8": gt,
                 "hw": np.asarray(gt.shape[:2], np.int32)}
 
@@ -164,10 +173,7 @@ class SalData:
         are fused into the train-step dispatch (train/step.py from_u8).
         u8 resize rounds to integers — within 1/255 of the reference's
         float path, indistinguishable at training time."""
-        stem = self.stems[idx]
-        img = _imread_rgb_u8(os.path.join(self.data_dir, "images",
-                                          f"{stem}.{self.img_ext}"))
-        gt = _imread_gray_u8(os.path.join(self.data_dir, "GT", f"{stem}.png"))
+        img, gt = self._decode_u8(idx)
         if self.aug is not None:
             img, gt = self.aug(img, gt)
         import cv2
@@ -180,10 +186,11 @@ class SalData:
                 "target_u8": gt[..., None]}
 
     def __getitem__(self, idx: int) -> dict:
-        stem = self.stems[idx]
-        img = _imread_rgb(os.path.join(self.data_dir, "images",
-                                       f"{stem}.{self.img_ext}"))
-        gt = _imread_gray(os.path.join(self.data_dir, "GT", f"{stem}.png"))
+        # u8/255 is exactly _imread_rgb/_imread_gray's value; routing through
+        # _decode_u8 lets the float host path share the decode cache
+        img_u8, gt_u8 = self._decode_u8(idx)
+        img = img_u8.astype(np.float32) / np.float32(255.0)
+        gt = gt_u8.astype(np.float32) / np.float32(255.0)
         h, w = gt.shape
         if self.aug is not None:
             img, gt = self.aug(img, gt)

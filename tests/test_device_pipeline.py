@@ -140,3 +140,41 @@ def test_raw_batches_bucket_padding(tmp_path):
         assert batch["image_u8"][i, h:].sum() == 0
         assert batch["image_u8"][i, :, w:].sum() == 0
         assert batch["image_u8"][i, :h, :w].sum() > 0
+
+
+def test_data_cache_decodes_once_and_matches(tmp_path, monkeypatch):
+    """SalData(cache=True) decodes each file once; all three sample dialects
+    (raw/hybrid/float) share the cache and match the uncached dataset."""
+    cv2 = pytest.importorskip("cv2")
+    import sod100k_tpu.data.pipeline as pl
+
+    rng = np.random.default_rng(8)
+    (tmp_path / "images").mkdir()
+    (tmp_path / "GT").mkdir()
+    for i in range(2):
+        cv2.imwrite(str(tmp_path / "images" / f"e{i}.png"),
+                    rng.integers(0, 255, (40, 50, 3), dtype=np.uint8))
+        cv2.imwrite(str(tmp_path / "GT" / f"e{i}.png"),
+                    rng.integers(0, 255, (40, 50), dtype=np.uint8))
+    calls = {"n": 0}
+    orig = pl._imread_rgb_u8
+
+    def counting(path):
+        calls["n"] += 1
+        return orig(path)
+
+    monkeypatch.setattr(pl, "_imread_rgb_u8", counting)
+    ds = pl.SalData(str(tmp_path), (32, 32), augmentation=False, cache=True)
+    ds.raw_item(0)
+    ds.raw_item(0)
+    ds.hybrid_item(0)
+    sample_cached = ds[0]
+    assert calls["n"] == 1  # one decode for four touches
+
+    ds_nc = pl.SalData(str(tmp_path), (32, 32), augmentation=False)
+    np.testing.assert_array_equal(ds.raw_item(1)["image_u8"],
+                                  ds_nc.raw_item(1)["image_u8"])
+    np.testing.assert_allclose(sample_cached["image"], ds_nc[0]["image"],
+                               atol=1e-6)
+    np.testing.assert_allclose(sample_cached["target"], ds_nc[0]["target"],
+                               atol=1e-6)
