@@ -1,0 +1,96 @@
+"""Serving export: compile-free deployment artifacts via jax.export.
+
+A serving artifact is a directory holding:
+  model.stablehlo  — serialized exported computation (StableHLO + vjp-less
+                     calling convention), weights baked in as constants
+  meta.json        — input spec (batch, H, W, dtype), family, sigmoid output
+
+The exported function is the inference forward (sigmoid saliency maps) at a
+fixed batch/size/dtype — the shape discipline XLA serving wants. Artifacts
+are loadable on any runtime with a compatible jax (load_artifact) without
+the model-building code, checkpoint interop, or layer_config plumbing; the
+runtime compiles the StableHLO for whatever accelerator is attached.
+
+The reference has no serving story (its test.py rebuilds the torch graph
+from source every run); this is TPU-native deployment surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _forward_fn(family: str, params, lc, dtype):
+    if family == "csnet":
+        from .arch.csnet import csnet_apply
+        from .ops.goct import ApplyCtx
+
+        def fwd(image):
+            logits = csnet_apply(params, image.astype(dtype), lc, ApplyCtx())
+            return jax.nn.sigmoid(logits.astype(jnp.float32))
+    elif family == "csf":
+        from .arch.csf_res2net import csf_apply
+
+        def fwd(image):
+            logits = csf_apply(params, image.astype(dtype), lc)
+            return jax.nn.sigmoid(logits.astype(jnp.float32))
+    else:
+        raise ValueError(f"unknown family {family!r}")
+    return fwd
+
+
+def export_artifact(out_dir: str, family: str, params, lc, *,
+                    batch: int = 1, hw: tuple[int, int] = (224, 224),
+                    dtype=jnp.bfloat16) -> str:
+    """Write a serving artifact. `lc` is the LayerConfig for csnet or the
+    backbone name ("res2net50"/"res2net101") for csf. Input contract:
+    float32 NHWC, [0,1]-scaled and ImageNet-normalized (the cli.test host
+    protocol); output float32 (N,H,W,1) sigmoid saliency."""
+    from jax import export as jexport
+
+    params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+    fwd = _forward_fn(family, params, lc, dtype)
+    spec = jax.ShapeDtypeStruct((batch, hw[0], hw[1], 3), jnp.float32)
+    exp = jexport.export(jax.jit(fwd))(spec)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "model.stablehlo"), "wb") as f:
+        f.write(exp.serialize())
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"family": family, "batch": batch, "h": hw[0], "w": hw[1],
+                   "compute_dtype": jnp.dtype(dtype).name,
+                   "input": "float32 NHWC, ImageNet-normalized",
+                   "output": "float32 (N,H,W,1) sigmoid saliency"}, f,
+                  indent=1)
+    return out_dir
+
+
+class ServingModel:
+    """Loaded artifact: `model(images) -> saliency` at the exported shape."""
+
+    def __init__(self, path: str):
+        from jax import export as jexport
+
+        with open(os.path.join(path, "model.stablehlo"), "rb") as f:
+            self._exp = jexport.deserialize(f.read())
+        with open(os.path.join(path, "meta.json")) as f:
+            self.meta = json.load(f)
+        self._jitted = jax.jit(self._exp.call)
+
+    @property
+    def input_shape(self) -> tuple[int, int, int, int]:
+        m = self.meta
+        return (m["batch"], m["h"], m["w"], 3)
+
+    def __call__(self, images) -> np.ndarray:
+        x = jnp.asarray(images, jnp.float32)
+        assert x.shape == self.input_shape, (x.shape, self.input_shape)
+        return np.asarray(self._jitted(x))
+
+
+def load_artifact(path: str) -> ServingModel:
+    return ServingModel(path)
