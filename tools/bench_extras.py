@@ -131,6 +131,58 @@ def bench_inference_latency(entries: list) -> None:
                     "value": round(ms, 3), "unit": "ms"})
 
 
+def bench_serving_artifact(entries: list) -> None:
+    """Exported StableHLO artifact throughput: the deployment path (weights
+    baked in, loaded without model code) must match the live bf16 forward
+    (bench.py's ~4k img/s)."""
+    import tempfile
+    import time
+
+    from jax import lax
+
+    from sod100k_tpu.arch.csnet import csnet_init
+    from sod100k_tpu.arch.layer_config import LayerConfig, init_layers
+    from sod100k_tpu.serve import export_artifact, load_artifact
+
+    stem = "/root/reference/CSNet/checkpoints/csnet-L-x2/csnet-L-x2"
+    if os.path.exists(stem + ".bin"):
+        from sod100k_tpu.interop.torch_ckpt import load_checkpoint
+
+        lc = LayerConfig.load(stem + ".bin")
+        params, _ = load_checkpoint(stem + ".pth.tar")
+    else:
+        lc = init_layers(40, [0.5, 0.5])
+        params = csnet_init(jax.random.key(0), lc)
+    batch = 128
+    art = export_artifact(tempfile.mkdtemp(prefix="sod_art_"), "csnet",
+                          params, lc, batch=batch, hw=(224, 224),
+                          dtype=jnp.bfloat16)
+    model = load_artifact(art)
+
+    def body(x, _):
+        y = model._exp.call(x)
+        return x + y.mean().astype(x.dtype) * 1e-6, ()
+
+    k = 20
+    run = jax.jit(lambda v: jnp.sum(
+        lax.scan(body, v, None, length=k)[0].astype(jnp.float32)))
+    x0 = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (batch, 224, 224, 3), dtype=np.float32))
+    float(run(x0))  # compile + warm
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(run(x0))
+        best = min(best, time.perf_counter() - t0)
+    secs = max(best - RPC_LATENCY_S, 1e-9) / k
+    ips = batch / secs
+    print(f"# serving artifact bf16 B=128: {secs * 1e3:.2f} ms/batch = "
+          f"{ips:.0f} img/s", file=sys.stderr)
+    entries.append({
+        "metric": "csnet_l_x2_224_serving_artifact_img_per_sec[bf16,B=128]",
+        "value": round(ips, 1), "unit": "images/sec"})
+
+
 def bench_csnet_train_steps(entries: list) -> None:
     from sod100k_tpu.arch.csnet import csnet_init
     from sod100k_tpu.arch.layer_config import init_layers
@@ -259,10 +311,13 @@ def main() -> None:
     ap.add_argument("--skip-csf", action="store_true")
     ap.add_argument("--skip-step", action="store_true")
     ap.add_argument("--skip-latency", action="store_true")
+    ap.add_argument("--skip-serving", action="store_true")
     ap.add_argument("--data-dir", default="/tmp/sod100k_bench_data")
     args = ap.parse_args()
 
     entries: list = []
+    if not args.skip_serving:
+        bench_serving_artifact(entries)
     if not args.skip_latency:
         bench_inference_latency(entries)
     if not args.skip_step:
