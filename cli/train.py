@@ -120,9 +120,9 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
 
     flops_on = cfg.AUTO.FLOPS.ENABLE
     flops_expand = cfg.AUTO.FLOPS.EXPAND if cfg.AUTO.FLOPS.EXPAND != -1.0 else 2.0
-    preprocess = cfg.TPU.PREPROCESS  # "host" | "hybrid" | "device"
-    if preprocess not in ("host", "hybrid", "device"):
-        raise SystemExit(f"TPU.PREPROCESS must be host|hybrid|device, "
+    preprocess = cfg.TPU.PREPROCESS  # "host" | "hybrid" | "device" | "resident"
+    if preprocess not in ("host", "hybrid", "device", "resident"):
+        raise SystemExit(f"TPU.PREPROCESS must be host|hybrid|device|resident, "
                          f"got {preprocess!r}")
     step = make_train_step(
         lc, tx,
@@ -132,6 +132,7 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
         mloss=cfg.LOSS.MLOSS,
         compute_dtype=jnp.bfloat16 if cfg.TPU.DTYPE == "bfloat16" else None,
         from_u8=preprocess == "hybrid",
+        donate=preprocess != "resident",  # resident's epoch scan owns donation
     )
     eval_step = make_eval_step(lc)
 
@@ -148,6 +149,29 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
     val_ds = SalData(cfg.VAL.DIR, (cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W),
                      mode="val", cache=cfg.TPU.DATA_CACHE) \
         if cfg.VAL.DIR else None
+
+    resident_data = epoch_fn = None
+    if preprocess == "resident":
+        # upload the whole (uint8, canonical-size) training set to HBM once;
+        # each epoch is then ONE dispatched program: on-device shuffle ->
+        # scan(gather -> augment -> train step). See data/resident.py.
+        from sod100k_tpu.data.resident import (
+            build_resident_dataset,
+            make_resident_epoch_fn,
+        )
+        from sod100k_tpu.parallel.mesh import replicate as _repl
+
+        resident_data = build_resident_dataset(
+            train_ds, store_hw=(cfg.TPU.RESIDENT_STORE_HW,) * 2)
+        resident_data = _repl(resident_data, mesh)
+        epoch_fn = make_resident_epoch_fn(
+            step, batch_size=cfg.DATA.BATCH_SIZE,
+            out_hw=(cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W))
+        n_imgs = int(resident_data["image_u8"].shape[0])
+        log(f"resident dataset: {n_imgs} images @"
+            f"{cfg.TPU.RESIDENT_STORE_HW}px uint8 = "
+            f"{sum(a.nbytes for a in resident_data.values()) / 2**20:.0f} MiB"
+            " in HBM")
 
     best_mae, best_epoch = float("inf"), -1
     epochs = max_epochs if max_epochs is not None else cfg.SOLVER.MAX_EPOCHS
@@ -167,61 +191,77 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
                     log(f"{name}: {np.asarray(leaf)}", display=False)
         penalty_on = jnp.float32(1.0 if epoch < cfg.AUTO.FINETUNE else 0.0)
 
-        if preprocess == "device":
-            # host decodes uint8 only; crop/flip/resize/normalize run as one
-            # jitted device program (device_pipeline.preprocess_train_batch)
-            it = raw_batches(train_ds, cfg.DATA.BATCH_SIZE, shuffle=True,
-                             seed=cfg.TPU.SEED + epoch,
-                             num_threads=cfg.DATA.WORKERS)
-        elif preprocess == "hybrid":
-            # host augments/resizes in uint8; normalization is fused into
-            # the train-step dispatch (step was built with from_u8)
-            it = hybrid_batches(train_ds, cfg.DATA.BATCH_SIZE, shuffle=True,
-                                seed=cfg.TPU.SEED + epoch,
-                                num_threads=cfg.DATA.WORKERS)
-        else:
-            it = batches(train_ds, cfg.DATA.BATCH_SIZE, shuffle=True,
-                         seed=cfg.TPU.SEED + epoch, num_threads=cfg.DATA.WORKERS)
-        losses, pens, nb = 0.0, 0.0, 0
-        aug_key = jax.random.key(cfg.TPU.SEED * 1_000_003 + epoch)
         profiling = bool(cfg.TPU.PROFILE_DIR) and epoch == start_epoch
         if profiling:
             jax.profiler.start_trace(cfg.TPU.PROFILE_DIR)
-        for batch in device_prefetch(it, mesh=mesh):
+        if preprocess == "resident":
+            # whole epoch in one dispatched program; the float() readbacks
+            # below force execution (block_until_ready lies on this tunnel)
+            ekey = jax.random.key(cfg.TPU.SEED * 7_777_777 + epoch)
+            trainable, state, opt_state, loss_arr, pen_arr = epoch_fn(
+                trainable, state, opt_state, resident_data, ekey,
+                jnp.float32(lr), penalty_on)
+            losses, pens = float(loss_arr[-1]), float(pen_arr[-1])
+            nb = int(loss_arr.shape[0])
+            log(f"Epoch: [{epoch + 1}][{nb} steps, one dispatch]\t"
+                f"Loss {losses:.4f}\tFakeFLOPs {pens:.3f}")
+        else:
             if preprocess == "device":
-                from sod100k_tpu.data.device_pipeline import preprocess_train_batch
-
-                feed = preprocess_train_batch(
-                    batch["image_u8"], batch["gt_u8"], batch["valid_hw"],
-                    jax.random.fold_in(aug_key, nb),
-                    out_hw=(cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W))
+                # host decodes uint8 only; crop/flip/resize/normalize run as
+                # one jitted device program (preprocess_train_batch)
+                it = raw_batches(train_ds, cfg.DATA.BATCH_SIZE, shuffle=True,
+                                 seed=cfg.TPU.SEED + epoch,
+                                 num_threads=cfg.DATA.WORKERS)
             elif preprocess == "hybrid":
-                feed = {"image": batch["image_u8"], "target": batch["target_u8"]}
+                # host augments/resizes in uint8; normalization is fused
+                # into the train-step dispatch (step was built with from_u8)
+                it = hybrid_batches(train_ds, cfg.DATA.BATCH_SIZE,
+                                    shuffle=True, seed=cfg.TPU.SEED + epoch,
+                                    num_threads=cfg.DATA.WORKERS)
             else:
-                feed = {"image": batch["image"], "target": batch["target"]}
-            trainable, state, opt_state, m = step(
-                trainable, state, opt_state, feed,
-                jnp.float32(lr), penalty_on,
-            )
-            nb += 1
-            if profiling and nb >= cfg.TPU.PROFILE_STEPS:
-                float(m["loss"])  # drain the traced steps before stopping
-                jax.profiler.stop_trace()
-                profiling = False
-                log(f"profiler trace written to {cfg.TPU.PROFILE_DIR}")
-            if nb % cfg.PRINT_FREQ == 0:
-                losses, pens = float(m["loss"]), float(m["penalty"])
-                log(f"Epoch: [{epoch + 1}][{nb}]\tLoss {losses:.4f}\t"
-                    f"FakeFLOPs {pens:.3f}")
+                it = batches(train_ds, cfg.DATA.BATCH_SIZE, shuffle=True,
+                             seed=cfg.TPU.SEED + epoch,
+                             num_threads=cfg.DATA.WORKERS)
+            losses, pens, nb = 0.0, 0.0, 0
+            aug_key = jax.random.key(cfg.TPU.SEED * 1_000_003 + epoch)
+            for batch in device_prefetch(it, mesh=mesh):
+                if preprocess == "device":
+                    from sod100k_tpu.data.device_pipeline import (
+                        preprocess_train_batch,
+                    )
 
-        if profiling:  # epoch shorter than PROFILE_STEPS
+                    feed = preprocess_train_batch(
+                        batch["image_u8"], batch["gt_u8"], batch["valid_hw"],
+                        jax.random.fold_in(aug_key, nb),
+                        out_hw=(cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W))
+                elif preprocess == "hybrid":
+                    feed = {"image": batch["image_u8"],
+                            "target": batch["target_u8"]}
+                else:
+                    feed = {"image": batch["image"], "target": batch["target"]}
+                trainable, state, opt_state, m = step(
+                    trainable, state, opt_state, feed,
+                    jnp.float32(lr), penalty_on,
+                )
+                nb += 1
+                if profiling and nb >= cfg.TPU.PROFILE_STEPS:
+                    float(m["loss"])  # drain the traced steps before stopping
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    log(f"profiler trace written to {cfg.TPU.PROFILE_DIR}")
+                if nb % cfg.PRINT_FREQ == 0:
+                    losses, pens = float(m["loss"]), float(m["penalty"])
+                    log(f"Epoch: [{epoch + 1}][{nb}]\tLoss {losses:.4f}\t"
+                        f"FakeFLOPs {pens:.3f}")
+            if nb:
+                # value readback, not block_until_ready: over the axon tunnel
+                # the latter can ack at dispatch, before execution finishes
+                float(m["loss"])
+
+        if profiling:  # resident mode, or epoch shorter than PROFILE_STEPS
             jax.profiler.stop_trace()
             profiling = False
             log(f"profiler trace written to {cfg.TPU.PROFILE_DIR}")
-        if nb:
-            # value readback, not block_until_ready: over the axon tunnel the
-            # latter can ack at dispatch, before device execution finishes
-            float(m["loss"])
         epoch_secs = _time.perf_counter() - t_epoch
         ips = nb * cfg.DATA.BATCH_SIZE / max(epoch_secs, 1e-9)
         log(f"epoch time: {epoch_secs:.1f}s ({ips:.1f} img/s)")

@@ -141,6 +141,12 @@ _C.TPU.TEST_PREPROCESS = "host"
 # DUTS-TR ~4.3 GB). JPEG decode dominates single-core host time and the
 # reference re-decodes every epoch; disable on RAM-constrained hosts.
 _C.TPU.DATA_CACHE = True
+# TPU.PREPROCESS="resident" stores the training set in HBM as uint8 at this
+# square size (256 -> DUTS-TR ~2.6 GB) and runs each epoch as ONE dispatched
+# program (on-device shuffle -> gather -> augment -> step). Zero per-epoch
+# host->device traffic; the right mode when the link is slow (this tunnel
+# moves ~36 MB/s truthfully measured) or host dispatch jitter matters.
+_C.TPU.RESIDENT_STORE_HW = 256
 # when set, capture a jax.profiler trace of the first training steps of the
 # first epoch into this directory (open with xprof/tensorboard; the TPU
 # counterpart of the reference's wall-clock AverageMeter + simplesum hooks)

@@ -204,3 +204,21 @@ def test_cli_testall_sweep_and_best_epoch(cfg, trained):
     for e in epochs:
         assert os.path.isfile(os.path.join(c.DATA.SAVEDIR, "synth",
                                            f"val_ECSSD_{e}.txt"))
+
+
+def test_cli_resident_mode_trains(cfg, trained):
+    """TPU.PREPROCESS='resident': the whole epoch runs as one dispatched
+    program over the HBM-resident uint8 dataset (data/resident.py)."""
+    from cli.train import run_training
+
+    c = cfg.clone()
+    c.TASK = "synth_resident"
+    c.TPU.PREPROCESS = "resident"
+    c.TPU.RESIDENT_STORE_HW = 80
+    out = run_training(c, max_epochs=2, log=lambda *a, **k: None)
+    assert [h["epoch"] for h in out["history"]] == [1, 2]
+    assert all(np.isfinite(h["loss"]) for h in out["history"])
+    assert np.isfinite(out["best_mae"])
+    assert os.path.exists(os.path.join(c.DATA.SAVEDIR, "synth_resident",
+                                       "checkpoint",
+                                       "checkpoint_epoch2.pth.tar"))

@@ -267,7 +267,7 @@ def bench_csf_steps(entries: list) -> None:
             "value": round(secs * 1e3, 2), "unit": "ms"})
 
 
-def make_synth_duts(root: str, n: int = 240) -> str:
+def make_synth_duts(root: str, n: int = 512) -> str:
     """DUTS-TR-shaped synthetic set: 300x400/400x300 JPEGs + GT PNGs."""
     from sod100k_tpu.data.synth import make_synth_split
 
@@ -281,13 +281,22 @@ def bench_e2e_train(entries: list, data_root: str) -> None:
     from sod100k_tpu.config import get_cfg
 
     make_synth_duts(data_root)
-    for mode in ("hybrid", "device", "host"):
+    # the three placements at the reference recipe (B=24 f32), plus the
+    # recommended high-throughput config (hybrid + bf16 + B=128)
+    for mode, dtype, bsz in (("hybrid", "float32", 24),
+                             ("device", "float32", 24),
+                             ("host", "float32", 24),
+                             ("resident", "float32", 24),
+                             ("hybrid", "bfloat16", 128),
+                             ("device", "bfloat16", 128),
+                             ("resident", "bfloat16", 128)):
         cfg = get_cfg()
-        cfg.TASK = f"bench_{mode}"
+        cfg.TASK = f"bench_{mode}_{dtype}_{bsz}"
         cfg.MODEL.BASIC_SPLIT = [0.5, 0.5]
         cfg.LOSS.MLOSS = 1
         cfg.DATA.DIR = data_root
-        cfg.DATA.BATCH_SIZE = 24  # reference recipe batch
+        cfg.DATA.BATCH_SIZE = bsz
+        cfg.TPU.DTYPE = dtype
         cfg.DATA.WORKERS = 4
         cfg.DATA.SAVEDIR = tempfile.mkdtemp(prefix="sod_bench_")
         cfg.AUTO.ENABLE = True
@@ -298,10 +307,11 @@ def bench_e2e_train(entries: list, data_root: str) -> None:
         cfg.TPU.PREPROCESS = mode
         out = run_training(cfg, max_epochs=2, log=lambda *a, **k: None)
         ips = out["history"][-1]["img_per_sec"]  # epoch 2 = warm
-        print(f"# e2e cli.train epoch img/s ({mode} preprocess): {ips:.1f}",
-              file=sys.stderr)
+        tag = "" if dtype == "float32" else ",bf16"
+        print(f"# e2e cli.train epoch img/s ({mode} preprocess, {dtype}, "
+              f"B={bsz}): {ips:.1f}", file=sys.stderr)
         entries.append({
-            "metric": f"csnet_l_x2_224_e2e_train_img_per_sec[{mode}_preprocess,B=24]",
+            "metric": f"csnet_l_x2_224_e2e_train_img_per_sec[{mode}_preprocess{tag},B={bsz}]",
             "value": round(ips, 1), "unit": "images/sec"})
 
 
@@ -312,7 +322,7 @@ def main() -> None:
     ap.add_argument("--skip-step", action="store_true")
     ap.add_argument("--skip-latency", action="store_true")
     ap.add_argument("--skip-serving", action="store_true")
-    ap.add_argument("--data-dir", default="/tmp/sod100k_bench_data")
+    ap.add_argument("--data-dir", default="/tmp/sod100k_bench_data_v2")
     args = ap.parse_args()
 
     entries: list = []
