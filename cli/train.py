@@ -161,12 +161,15 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
         )
         from sod100k_tpu.parallel.mesh import replicate as _repl
 
+        from sod100k_tpu.parallel.mesh import batch_sharding as _bs
+
         resident_data = build_resident_dataset(
             train_ds, store_hw=(cfg.TPU.RESIDENT_STORE_HW,) * 2)
         resident_data = _repl(resident_data, mesh)
         epoch_fn = make_resident_epoch_fn(
             step, batch_size=cfg.DATA.BATCH_SIZE,
-            out_hw=(cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W))
+            out_hw=(cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W),
+            batch_sharding=_bs(mesh) if len(mesh.devices.flat) > 1 else None)
         n_imgs = int(resident_data["image_u8"].shape[0])
         log(f"resident dataset: {n_imgs} images @"
             f"{cfg.TPU.RESIDENT_STORE_HW}px uint8 = "

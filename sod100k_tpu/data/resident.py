@@ -57,7 +57,8 @@ def build_resident_dataset(dataset, store_hw: tuple[int, int] = (256, 256),
 
 def make_resident_epoch_fn(step_fn, *, batch_size: int,
                            out_hw: tuple[int, int],
-                           augment: bool = True, max_crop: int = 17):
+                           augment: bool = True, max_crop: int = 17,
+                           batch_sharding=None):
     """One-dispatch epoch: shuffle -> scan(gather -> augment -> step_fn).
 
     step_fn is a make_train_step-style pure function
@@ -65,6 +66,12 @@ def make_resident_epoch_fn(step_fn, *, batch_size: int,
     built WITHOUT from_u8 (the on-device augmentation already normalizes).
     max_crop defaults to 17 ~ 15 * 256/224: the reference's 15-px native
     crop expressed at the 256 store scale.
+
+    batch_sharding (a NamedSharding over the batch axis) constrains the
+    gathered batch under a mesh so the per-step work data-parallelizes
+    instead of replicating; the resident arrays themselves stay replicated
+    (uint8 is small) and the gather happens shard-locally after the
+    constraint.
 
     Returns epoch_fn(trainable, state, opt_state, data, key, lr, penalty_on)
     -> (trainable, state, opt_state, losses (nb,), penalties (nb,)).
@@ -84,8 +91,13 @@ def make_resident_epoch_fn(step_fn, *, batch_size: int,
         def body(carry, args):
             t, s, o = carry
             idxs, kb = args
+            img = data["image_u8"][idxs]
+            gt = data["gt_u8"][idxs]
+            if batch_sharding is not None:
+                img = jax.lax.with_sharding_constraint(img, batch_sharding)
+                gt = jax.lax.with_sharding_constraint(gt, batch_sharding)
             batch = preprocess_train_batch(
-                data["image_u8"][idxs], data["gt_u8"][idxs], valid, kb,
+                img, gt, valid, kb,
                 out_hw=out_hw, augment=augment, max_crop=max_crop)
             t, s, o, m = step_fn(t, s, o, batch, lr, penalty_on)
             return (t, s, o), (m["loss"], m["penalty"])
