@@ -18,4 +18,5 @@ def test_dryrun_multichip_covers_both_families(monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "mesh={'data': 4, 'spatial': 2}" in out
     assert "sharded over 8 devices" in out
+    assert "resident epoch(8)" in out
     assert "CSF+Res2Net DP(8)" in out
