@@ -119,18 +119,22 @@ _C.TPU.PALLAS_DW = False
 # next to the reference-format .pth.tar files
 _C.TPU.ORBAX = False
 # where the data front-end runs (replaces the reference's host-side
-# prepare_data.py:91-139 work). Measured on this axon tunnel (~70 MB/s
-# host->device, tools/bench_extras.py):
+# prepare_data.py:91-139 work). Measured on this axon tunnel (~36 MB/s
+# truthful host->device rate, tools/bench_extras.py):
 #   "host":   full host preprocessing, ships normalized f32 at train size
 #             (bit-matched to the reference dialect; 14.5 MB/batch at B=24).
 #   "hybrid": host crop/flip/resize to uint8, ships u8 at train size
 #             (3.6 MB/batch); normalization fused into the train-step
-#             dispatch. Best when host->device bandwidth is scarce. DEFAULT.
+#             dispatch. Smallest bytes when shipping per batch. DEFAULT.
 #   "device": host decodes only; ships bucket-padded native-size uint8 and
 #             the jitted device front-end (data/device_pipeline.py) does
 #             crop/flip/resize/normalize. Best when the host CPU is scarce
 #             and the link is wide (real TPU hosts; on the tunnel the
 #             padded native-size bytes cost more than they save).
+#   "resident": the uint8 dataset lives in HBM (TPU.RESIDENT_STORE_HW) and
+#             each epoch runs as ONE dispatched program — zero per-epoch
+#             host traffic. Fastest and most stable on slow links; use for
+#             long runs (augmentation crops at the canonical store scale).
 _C.TPU.PREPROCESS = "hybrid"
 # front-end placement for the INFERENCE driver (cli.test). Defaults to the
 # reference-parity host path ("host": float resize, prepare_data dialect) so
