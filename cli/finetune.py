@@ -76,12 +76,14 @@ def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
         tx = make_adam(weight_decay=sol.WEIGHT_DECAY)
     opt_state = tx.init(trainable)
 
-    hybrid = cfg.TPU.PREPROCESS == "hybrid"
+    preprocess = cfg.TPU.PREPROCESS
+    hybrid = preprocess == "hybrid"
     step = make_train_step(lc, tx, flops_weight=0.0,
                            batch_size=cfg.DATA.BATCH_SIZE,
                            from_u8=hybrid,
                            compute_dtype=jnp.bfloat16
-                           if cfg.TPU.DTYPE == "bfloat16" else None)
+                           if cfg.TPU.DTYPE == "bfloat16" else None,
+                           donate=preprocess != "resident")
     eval_step = make_eval_step(lc)
 
     from .common import data_mesh_for
@@ -100,6 +102,22 @@ def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
                      mode="val", cache=cfg.TPU.DATA_CACHE) \
         if cfg.VAL.DIR else None
 
+    resident_data = epoch_fn = None
+    if preprocess == "resident":
+        from sod100k_tpu.data.resident import (
+            build_resident_dataset,
+            make_resident_epoch_fn,
+        )
+        from sod100k_tpu.parallel.mesh import batch_sharding as _bs
+        from sod100k_tpu.parallel.mesh import replicate as _repl
+
+        resident_data = _repl(build_resident_dataset(
+            train_ds, store_hw=(cfg.TPU.RESIDENT_STORE_HW,) * 2), mesh)
+        epoch_fn = make_resident_epoch_fn(
+            step, batch_size=cfg.DATA.BATCH_SIZE,
+            out_hw=(cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W),
+            batch_sharding=_bs(mesh) if len(mesh.devices.flat) > 1 else None)
+
     best_mae, best_epoch = float("inf"), -1
     epochs = max_epochs if max_epochs is not None else sol.MAX_EPOCHS
     for epoch in range(epochs):
@@ -110,27 +128,38 @@ def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
         else:
             lr = sol.LR
         log(f"lr: {lr}")
-        if hybrid:
-            # same uint8 host aug/resize + fused normalize as cli.train
-            it = hybrid_batches(train_ds, cfg.DATA.BATCH_SIZE, shuffle=True,
-                                seed=cfg.TPU.SEED + epoch,
-                                num_threads=cfg.DATA.WORKERS)
+        if preprocess == "resident":
+            ekey = jax.random.key(cfg.TPU.SEED * 7_777_771 + epoch)
+            trainable, state, opt_state, loss_arr, _ = epoch_fn(
+                trainable, state, opt_state, resident_data, ekey,
+                jnp.float32(lr), jnp.float32(0.0))
+            nb = int(loss_arr.shape[0])
+            log(f"FtEpoch: [{epoch + 1}][{nb} steps, one dispatch]\t"
+                f"Loss {float(loss_arr[-1]):.4f}")
         else:
-            it = batches(train_ds, cfg.DATA.BATCH_SIZE, shuffle=True,
-                         seed=cfg.TPU.SEED + epoch,
-                         num_threads=cfg.DATA.WORKERS)
-        nb = 0
-        for batch in device_prefetch(it, mesh=mesh):
-            feed = ({"image": batch["image_u8"], "target": batch["target_u8"]}
-                    if hybrid else
-                    {"image": batch["image"], "target": batch["target"]})
-            trainable, state, opt_state, m = step(
-                trainable, state, opt_state, feed,
-                jnp.float32(lr), jnp.float32(0.0),
-            )
-            nb += 1
-            if nb % cfg.PRINT_FREQ == 0:
-                log(f"FtEpoch: [{epoch + 1}][{nb}]\tLoss {float(m['loss']):.4f}")
+            if hybrid:
+                # same uint8 host aug/resize + fused normalize as cli.train
+                it = hybrid_batches(train_ds, cfg.DATA.BATCH_SIZE,
+                                    shuffle=True, seed=cfg.TPU.SEED + epoch,
+                                    num_threads=cfg.DATA.WORKERS)
+            else:
+                it = batches(train_ds, cfg.DATA.BATCH_SIZE, shuffle=True,
+                             seed=cfg.TPU.SEED + epoch,
+                             num_threads=cfg.DATA.WORKERS)
+            nb = 0
+            for batch in device_prefetch(it, mesh=mesh):
+                feed = ({"image": batch["image_u8"],
+                         "target": batch["target_u8"]}
+                        if hybrid else
+                        {"image": batch["image"], "target": batch["target"]})
+                trainable, state, opt_state, m = step(
+                    trainable, state, opt_state, feed,
+                    jnp.float32(lr), jnp.float32(0.0),
+                )
+                nb += 1
+                if nb % cfg.PRINT_FREQ == 0:
+                    log(f"FtEpoch: [{epoch + 1}][{nb}]\t"
+                        f"Loss {float(m['loss']):.4f}")
         mae = float("nan")
         if val_ds is not None:
             pd = jax.tree.map(jnp.asarray, merge(

@@ -222,3 +222,16 @@ def test_cli_resident_mode_trains(cfg, trained):
     assert os.path.exists(os.path.join(c.DATA.SAVEDIR, "synth_resident",
                                        "checkpoint",
                                        "checkpoint_epoch2.pth.tar"))
+
+
+def test_cli_finetune_resident_mode(cfg, trained):
+    from cli.finetune import run_finetune
+
+    c = cfg.clone()
+    c.TPU.PREPROCESS = "resident"
+    c.TPU.RESIDENT_STORE_HW = 80
+    out = run_finetune(c, from_epoch=2, max_epochs=1,
+                       log=lambda *a, **k: None)
+    assert np.isfinite(out["best_mae"])
+    assert os.path.exists(os.path.join(out["ft_dir"],
+                                       "checkpoint_epoch1.pth.tar"))
