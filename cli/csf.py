@@ -111,6 +111,25 @@ def run_csf_train(config, log=print) -> dict:
                                iter_size=config.iter_size,
                                batch_size=config.batch_size)
 
+    # TPU-native scale-out: shard the batch over a 1-D data mesh
+    # (--mesh_devices, 0 = all visible); params/opt state replicated, XLA
+    # inserts the gradient all-reduce. The reference is single-GPU
+    # batch_size=1 + grad accumulation; at batch_size >= n_devices this
+    # runs the same math data-parallel.
+    from sod100k_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
+
+    n_dev = min(getattr(config, "mesh_devices", 0) or len(jax.devices()),
+                len(jax.devices()))
+    while config.batch_size % n_dev:
+        n_dev -= 1
+    mesh = make_mesh(n_dev)
+    trainable = replicate(trainable, mesh)
+    state = replicate(state, mesh)
+    opt_state = replicate(opt_state, mesh)
+    bsh = batch_sharding(mesh) if n_dev > 1 else None
+    if bsh is not None:
+        log(f"CSF training batch sharded over {n_dev} devices")
+
     dataset = CSFTrainData(config.train_root, config.train_list)
     lr = config.lr
     losses = []
@@ -123,7 +142,13 @@ def run_csf_train(config, log=print) -> dict:
             it = padded_batches(dataset, config.batch_size, seed=epoch)
         r_loss, i = 0.0, 0
         for batch in it:
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            nb = next(iter(batch.values())).shape[0]
+            if bsh is not None and nb % n_dev == 0:
+                batch = {k: jax.device_put(jnp.asarray(v), bsh)
+                         for k, v in batch.items()}
+            else:
+                # ragged trailing bucket batch: replicate (recompiles anyway)
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
             trainable, opt_state, m = step(trainable, state, opt_state, batch,
                                            jnp.float32(lr))
             r_loss += float(m["loss"])
@@ -204,6 +229,9 @@ def main() -> None:
     parser.add_argument("--image_size", type=int, default=0,
                         help="0 = native-size bucketed batches; else fixed "
                              "square size (336 for the res2net101 recipe)")
+    parser.add_argument("--mesh_devices", type=int, default=0,
+                        help="data-parallel devices for training (0 = all "
+                             "visible; clamped to a divisor of batch_size)")
     config = parser.parse_args()
     os.makedirs(config.save_folder, exist_ok=True)
     config.test_root, config.test_list = get_test_info(config.sal_mode)

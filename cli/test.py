@@ -61,6 +61,26 @@ def run_test(cfg, log=print) -> dict:
         from sod100k_tpu.data.pipeline import _imread_rgb_u8
     eval_step = make_eval_step(lc, pallas=cfg.TPU.PALLAS_DW, from_u8=hyb_pre,
                                compute_dtype=dtype)
+
+    # serving-level data parallelism: fixed-size batches shard over a 1-D
+    # data mesh (TPU.MESH_DEVICES; params replicated, XLA splits the batch)
+    bsh = None
+    if fixed and batch_size > 1:
+        from sod100k_tpu.parallel.mesh import batch_sharding, replicate
+
+        from .common import data_mesh_for
+
+        mesh = data_mesh_for(cfg, batch_size, log)
+        if len(mesh.devices.flat) > 1:
+            params = replicate(params, mesh)
+            bsh = batch_sharding(mesh)
+            log(f"inference batch sharded over "
+                f"{len(mesh.devices.flat)} devices")
+
+    def ship(a, dtype=None):
+        a = jnp.asarray(a) if dtype is None else jnp.asarray(a, dtype)
+        return jax.device_put(a, bsh) if bsh is not None else a
+
     results = {}
     from concurrent.futures import ThreadPoolExecutor
 
@@ -101,19 +121,19 @@ def run_test(cfg, log=print) -> dict:
                         imgs[i, :h, :w] = im
                         hws[i] = (h, w)
                     x = preprocess_infer_batch(
-                        jnp.asarray(imgs), jnp.asarray(hws),
+                        ship(imgs), ship(hws),
                         out_hw=(cfg.TEST.IMAGE_H, cfg.TEST.IMAGE_W)).astype(dtype)
                     preds = np.asarray(eval_step(params, x).astype(jnp.float32))
                 elif hyb_pre:
                     stack = [l[0] for l in loaded]
                     stack += [stack[-1]] * (batch_size - len(stack))
-                    x = jnp.asarray(np.stack(stack))  # uint8
+                    x = ship(np.stack(stack))  # uint8
                     preds = np.asarray(eval_step(params, x).astype(jnp.float32))
                 elif batch_size > 1:
                     # pad the trailing partial batch to keep one compiled shape
                     stack = [l[0] for l in loaded]
                     stack += [stack[-1]] * (batch_size - len(stack))
-                    x = jnp.asarray(np.concatenate(stack), dtype)
+                    x = ship(np.concatenate(stack), dtype)
                     preds = np.asarray(eval_step(params, x).astype(jnp.float32))
                 else:
                     preds = np.asarray(eval_step(

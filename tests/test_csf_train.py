@@ -114,11 +114,11 @@ def test_csf_cli_train_and_test(csf_root, tmp_path):
     from cli.csf import run_csf_test, run_csf_train
 
     config = types.SimpleNamespace(
-        lr=5e-5, wd=5e-4, pretrained_model="", epoch=1, batch_size=1,
+        lr=5e-5, wd=5e-4, pretrained_model="", epoch=1, batch_size=2,
         load="", save_folder=str(tmp_path / "out"), epoch_save=1, iter_size=2,
         show_every=2, train_root=str(csf_root),
         train_list=str(csf_root / "train.lst"), arch="res2net50",
-        image_size=48,
+        image_size=48, mesh_devices=2,  # data-parallel over 2 virtual devices
     )
     os.makedirs(config.save_folder)
     out = run_csf_train(config, log=lambda *a, **k: None)
