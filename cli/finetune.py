@@ -103,10 +103,13 @@ def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
         if cfg.VAL.DIR else None
 
     resident_data = epoch_fn = None
+    resident_val_data = resident_val_fn = None
     if preprocess == "resident":
         from sod100k_tpu.data.resident import (
             build_resident_dataset,
+            build_resident_val_dataset,
             make_resident_epoch_fn,
+            make_resident_val_fn,
         )
         from sod100k_tpu.parallel.mesh import batch_sharding as _bs
         from sod100k_tpu.parallel.mesh import replicate as _repl
@@ -117,6 +120,19 @@ def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
             step, batch_size=cfg.DATA.BATCH_SIZE,
             out_hw=(cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W),
             batch_sharding=_bs(mesh) if len(mesh.devices.flat) > 1 else None)
+        if val_ds is not None:
+            vdata = build_resident_val_dataset(
+                val_ds, (cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W),
+                cfg.DATA.BATCH_SIZE)
+            canvas_hw = vdata.pop("_canvas_hw")
+            resident_val_data = _repl(vdata, mesh)
+            resident_val_fn = make_resident_val_fn(
+                make_eval_step(lc, from_u8=True,
+                               compute_dtype=jnp.bfloat16
+                               if cfg.TPU.DTYPE == "bfloat16" else None),
+                batch_size=cfg.DATA.BATCH_SIZE, canvas_hw=canvas_hw,
+                batch_sharding=_bs(mesh) if len(mesh.devices.flat) > 1
+                else None)
 
     best_mae, best_epoch = float("inf"), -1
     epochs = max_epochs if max_epochs is not None else sol.MAX_EPOCHS
@@ -161,13 +177,16 @@ def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
                     log(f"FtEpoch: [{epoch + 1}][{nb}]\t"
                         f"Loss {float(m['loss']):.4f}")
         mae = float("nan")
-        if val_ds is not None:
+        if resident_val_fn is not None:
+            mae = float(resident_val_fn(merge(trainable, state),
+                                        resident_val_data))
+        elif val_ds is not None:
             pd = jax.tree.map(jnp.asarray, merge(
                 jax.tree.map(np.asarray, trainable),
                 jax.tree.map(np.asarray, state)))
             mae = val_mae(eval_step, pd, val_ds, cfg.DATA.BATCH_SIZE, log)
-            if mae < best_mae:
-                best_mae, best_epoch = mae, epoch + 1
+        if mae < best_mae:
+            best_mae, best_epoch = mae, epoch + 1
         log(f" epoch: {epoch + 1} mae: {mae} best_epoch: {best_epoch} "
             f"best_mae: {best_mae}")
         save_torch_checkpoint(

@@ -151,13 +151,16 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
         if cfg.VAL.DIR else None
 
     resident_data = epoch_fn = None
+    resident_val_data = resident_val_fn = None
     if preprocess == "resident":
         # upload the whole (uint8, canonical-size) training set to HBM once;
         # each epoch is then ONE dispatched program: on-device shuffle ->
         # scan(gather -> augment -> train step). See data/resident.py.
         from sod100k_tpu.data.resident import (
             build_resident_dataset,
+            build_resident_val_dataset,
             make_resident_epoch_fn,
+            make_resident_val_fn,
         )
         from sod100k_tpu.parallel.mesh import replicate as _repl
 
@@ -175,6 +178,26 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
             f"{cfg.TPU.RESIDENT_STORE_HW}px uint8 = "
             f"{sum(a.nbytes for a in resident_data.values()) / 2**20:.0f} MiB"
             " in HBM")
+        if val_ds is not None:
+            # the val split lives in HBM too (model-size inputs + native
+            # GTs); each per-epoch validation is then one dispatch instead
+            # of a wire-bound host loop
+            vdata = build_resident_val_dataset(
+                val_ds, (cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W),
+                cfg.DATA.BATCH_SIZE)
+            canvas_hw = vdata.pop("_canvas_hw")
+            resident_val_data = _repl(vdata, mesh)
+            resident_val_fn = make_resident_val_fn(
+                make_eval_step(lc, from_u8=True,
+                               compute_dtype=jnp.bfloat16
+                               if cfg.TPU.DTYPE == "bfloat16" else None),
+                batch_size=cfg.DATA.BATCH_SIZE, canvas_hw=canvas_hw,
+                batch_sharding=_bs(mesh) if len(mesh.devices.flat) > 1
+                else None)
+            log(f"resident val set: {len(val_ds)} images, native canvas "
+                f"{canvas_hw}, "
+                f"{sum(a.nbytes for a in vdata.values()) / 2**20:.0f} MiB"
+                " in HBM")
 
     best_mae, best_epoch = float("inf"), -1
     epochs = max_epochs if max_epochs is not None else cfg.SOLVER.MAX_EPOCHS
@@ -276,13 +299,18 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
                 f"{stats['peak_bytes_in_use'] / 2**20:.1f} MiB")
 
         mae = float("nan")
-        if val_ds is not None:
+        if resident_val_fn is not None:
+            # one-dispatch validation over the HBM-resident val set; float()
+            # forces the readback (see the tunnel note above)
+            mae = float(resident_val_fn(merge(trainable, state),
+                                        resident_val_data))
+        elif val_ds is not None:
             params_now = merge(jax.tree.map(np.asarray, trainable),
                                jax.tree.map(np.asarray, state))
             params_dev = jax.tree.map(jnp.asarray, params_now)
             mae = val_mae(eval_step, params_dev, val_ds, cfg.DATA.BATCH_SIZE, log)
-            if mae < best_mae:
-                best_mae, best_epoch = mae, epoch + 1
+        if mae < best_mae:
+            best_mae, best_epoch = mae, epoch + 1
         log(f" epoch: {epoch + 1} mae: {mae} best_epoch: {best_epoch} "
             f"best_mae: {best_mae}")
         history.append({"epoch": epoch + 1, "mae": mae, "loss": losses,

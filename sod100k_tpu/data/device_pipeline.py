@@ -39,6 +39,20 @@ def _axis_coords(out_len: int, start, size, limit):
                     (start + size - 1).astype(jnp.float32))
 
 
+def _gather_bilinear_1d(a: jax.Array, coords: jax.Array, axis: int) -> jax.Array:
+    """Bilinear gather of HWC `a` at float `coords` along `axis`."""
+    lo = jnp.floor(coords).astype(jnp.int32)
+    hi = jnp.clip(lo + 1, 0, a.shape[axis] - 1)
+    lo = jnp.clip(lo, 0, a.shape[axis] - 1)
+    frac = (coords - lo.astype(jnp.float32))
+    a_lo = jnp.take(a, lo, axis=axis)
+    a_hi = jnp.take(a, hi, axis=axis)
+    shape = [1, 1, 1]
+    shape[axis] = -1
+    f = frac.reshape(shape)
+    return a_lo * (1.0 - f) + a_hi * f
+
+
 def crop_resize_bilinear(img: jax.Array, box, out_hw: tuple[int, int]) -> jax.Array:
     """Bilinear-resize the traced crop box (r1, ch, c1, cw) of one HWC image
     to out_hw. Shapes static; coordinates dynamic."""
@@ -46,22 +60,31 @@ def crop_resize_bilinear(img: jax.Array, box, out_hw: tuple[int, int]) -> jax.Ar
     r1, ch, c1, cw = box
     ys = _axis_coords(h_out, r1, ch, img.shape[0])
     xs = _axis_coords(w_out, c1, cw, img.shape[1])
-
-    def gather_1d(a, coords, axis):
-        lo = jnp.floor(coords).astype(jnp.int32)
-        hi = jnp.clip(lo + 1, 0, a.shape[axis] - 1)
-        lo = jnp.clip(lo, 0, a.shape[axis] - 1)
-        frac = (coords - lo.astype(jnp.float32))
-        a_lo = jnp.take(a, lo, axis=axis)
-        a_hi = jnp.take(a, hi, axis=axis)
-        shape = [1, 1, 1]
-        shape[axis] = -1
-        f = frac.reshape(shape)
-        return a_lo * (1.0 - f) + a_hi * f
-
-    out = gather_1d(img.astype(jnp.float32), ys, 0)
-    out = gather_1d(out, xs, 1)
+    out = _gather_bilinear_1d(img.astype(jnp.float32), ys, 0)
+    out = _gather_bilinear_1d(out, xs, 1)
     return out
+
+
+def resize_to_native_canvas(img: jax.Array, hw, canvas_hw: tuple[int, int]) -> jax.Array:
+    """Bilinear-resize a whole HW(C) image to the traced size (hw[0], hw[1]),
+    materialized in the top-left of a static (canvas_h, canvas_w) array
+    (pixels beyond hw are meaningless — mask them). Half-pixel sampling with
+    edge clamp, identical to cv2.INTER_LINEAR on the valid region; used to
+    scale predictions back to each image's native GT resolution on device
+    (the host protocol is cv2.resize, cli/common.py val_mae)."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    h_in, w_in = img.shape[0], img.shape[1]
+    h = hw[0].astype(jnp.float32)
+    w = hw[1].astype(jnp.float32)
+    oy = jnp.arange(canvas_hw[0], dtype=jnp.float32)
+    ox = jnp.arange(canvas_hw[1], dtype=jnp.float32)
+    ys = jnp.clip((oy + 0.5) * (h_in / h) - 0.5, 0.0, h_in - 1)
+    xs = jnp.clip((ox + 0.5) * (w_in / w) - 0.5, 0.0, w_in - 1)
+    out = _gather_bilinear_1d(img.astype(jnp.float32), ys, 0)
+    out = _gather_bilinear_1d(out, xs, 1)
+    return out[..., 0] if squeeze else out
 
 
 def _draw_augment_params(key, max_crop: int = 15, p_flip: float = 0.5):

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .device_pipeline import preprocess_train_batch
+from .device_pipeline import preprocess_train_batch, resize_to_native_canvas
 
 
 def build_resident_dataset(dataset, store_hw: tuple[int, int] = (256, 256),
@@ -108,3 +108,88 @@ def make_resident_epoch_fn(step_fn, *, batch_size: int,
         return trainable, state, opt_state, losses, pens
 
     return epoch_fn
+
+
+def build_resident_val_dataset(dataset, in_hw: tuple[int, int],
+                               batch_size: int, sharding=None) -> dict:
+    """Upload the whole val split once: model inputs at the train size
+    (uint8, hybrid-dialect host resize) plus NATIVE-resolution ground truths
+    padded to one canvas, so per-epoch validation needs zero host transfers.
+
+    The host val protocol (cli/common.py val_mae, reference train.py:250-293)
+    resizes each prediction back to its native (h, w) and scores a
+    quantized L1 there — the native GTs must therefore ride along. N is
+    padded to a batch_size multiple with weight-0 copies of sample 0.
+
+    Returns {"image_u8": (N',h,w,3), "gt_u8": (N',H,W), "hw": (N',2) int32,
+    "weight": (N',) float32} device arrays plus the canvas size under
+    "_canvas_hw" (host metadata, not uploaded)."""
+    import cv2
+
+    n = len(dataset)
+    pairs = [dataset._decode_u8(i) for i in range(n)]
+    canvas_h = max(g.shape[0] for _, g in pairs)
+    canvas_w = max(g.shape[1] for _, g in pairs)
+    n_pad = -(-n // batch_size) * batch_size
+    hs, ws = in_hw
+    imgs = np.zeros((n_pad, hs, ws, 3), np.uint8)
+    gts = np.zeros((n_pad, canvas_h, canvas_w), np.uint8)
+    hws = np.ones((n_pad, 2), np.int32)
+    wts = np.zeros((n_pad,), np.float32)
+    for i in range(n_pad):
+        img, gt = pairs[i] if i < n else pairs[0]
+        imgs[i] = cv2.resize(img, (ws, hs), interpolation=cv2.INTER_LINEAR)
+        gts[i, :gt.shape[0], :gt.shape[1]] = gt
+        hws[i] = gt.shape[:2]
+        wts[i] = 1.0 if i < n else 0.0
+    put = (lambda a: jax.device_put(a, sharding)) if sharding is not None \
+        else jax.device_put
+    return {"image_u8": put(imgs), "gt_u8": put(gts),
+            "hw": put(hws), "weight": put(wts),
+            "_canvas_hw": (canvas_h, canvas_w)}
+
+
+def make_resident_val_fn(eval_step, *, batch_size: int,
+                         canvas_hw: tuple[int, int], batch_sharding=None):
+    """One-dispatch validation over a resident val set.
+
+    eval_step: a make_eval_step(lc, from_u8=True, ...) function
+    (params, image_u8) -> sigmoid maps (B, Ht, Wt, 1). Per image the map is
+    bilinearly resized to its native (h, w) on device, trunc-quantized to
+    /255 steps and L1-scored against the native GT — the exact host
+    protocol (cli/common.py val_mae). Returns val_fn(params, data) -> MAE
+    scalar (host float after one dispatch)."""
+
+    @jax.jit
+    def val_fn(params, data):
+        imgs, gts = data["image_u8"], data["gt_u8"]
+        hws, wts = data["hw"], data["weight"]
+        nb = imgs.shape[0] // batch_size
+        ch, cw = canvas_hw
+        xs = (imgs.reshape(nb, batch_size, *imgs.shape[1:]),
+              gts.reshape(nb, batch_size, *gts.shape[1:]),
+              hws.reshape(nb, batch_size, 2),
+              wts.reshape(nb, batch_size))
+
+        def one(pred, gt, hw):
+            up = resize_to_native_canvas(pred, hw, (ch, cw))
+            q = jnp.trunc(up * 255.0) / 255.0
+            mask = ((jnp.arange(ch)[:, None] < hw[0])
+                    & (jnp.arange(cw)[None, :] < hw[1])).astype(jnp.float32)
+            diff = jnp.abs(q - gt.astype(jnp.float32) / 255.0) * mask
+            return jnp.sum(diff) / (hw[0] * hw[1]).astype(jnp.float32)
+
+        def body(carry, xs_b):
+            img, gt, hw, wt = xs_b
+            if batch_sharding is not None:
+                img = jax.lax.with_sharding_constraint(img, batch_sharding)
+                gt = jax.lax.with_sharding_constraint(gt, batch_sharding)
+            pred = eval_step(params, img)[..., 0]
+            maes = jax.vmap(one)(pred, gt, hw)
+            s, c = carry
+            return (s + jnp.sum(maes * wt), c + jnp.sum(wt)), None
+
+        (s, c), _ = jax.lax.scan(body, (jnp.float32(0.0), jnp.float32(0.0)), xs)
+        return s / c
+
+    return val_fn

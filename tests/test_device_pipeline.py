@@ -88,6 +88,70 @@ def test_preprocess_infer_batch_matches_host_test_protocol(tmp_path):
         np.testing.assert_allclose(got[i], want[0], atol=2e-3)
 
 
+def test_resize_to_native_canvas_matches_cv2():
+    """Dynamic-size device upsample == cv2.INTER_LINEAR on the valid region
+    (the val-protocol resize-back, cli/common.py val_mae)."""
+    cv2 = pytest.importorskip("cv2")
+    from sod100k_tpu.data.device_pipeline import resize_to_native_canvas
+
+    rng = np.random.default_rng(5)
+    pred = rng.random((64, 64)).astype(np.float32)
+    for (h, w) in [(37, 45), (90, 120), (64, 64), (13, 101)]:
+        want = cv2.resize(pred, (w, h), interpolation=cv2.INTER_LINEAR)
+        got = np.asarray(resize_to_native_canvas(
+            jnp.asarray(pred), jnp.asarray([h, w], np.int32), (128, 128)))
+        np.testing.assert_allclose(got[:h, :w], want, atol=1e-5)
+
+
+def test_resident_val_matches_host_protocol(tmp_path):
+    """One-dispatch resident validation == the host val_mae loop (forward at
+    train size -> per-image native resize-back -> trunc-quantized L1)."""
+    cv2 = pytest.importorskip("cv2")
+    from cli.common import val_mae
+    from sod100k_tpu.arch.csnet import csnet_init
+    from sod100k_tpu.arch.layer_config import init_layers
+    from sod100k_tpu.data.pipeline import SalData
+    from sod100k_tpu.data.resident import (
+        build_resident_val_dataset,
+        make_resident_val_fn,
+    )
+    from sod100k_tpu.train.step import make_eval_step
+
+    rng = np.random.default_rng(7)
+    (tmp_path / "images").mkdir()
+    (tmp_path / "GT").mkdir()
+    for i, (h, w) in enumerate([(70, 90), (55, 48), (80, 80), (48, 96),
+                                (64, 72)]):
+        cv2.imwrite(str(tmp_path / "images" / f"v{i}.jpg"),
+                    rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+        gt = (rng.random((h, w)) > 0.5).astype(np.uint8) * 255
+        cv2.imwrite(str(tmp_path / "GT" / f"v{i}.png"), gt)
+
+    lc = init_layers(8, [0.5, 0.5])
+    params = csnet_init(jax.random.key(0), lc)
+    # fresh x100-conv init explodes in EVAL mode (stored kaiming * 100 with
+    # identity running BN stats — faithful to the reference, which has the
+    # same property); scale kernels into the band where the untrained
+    # forward produces varied, finite maps
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, a: a / 6.0 if jax.tree_util.keystr(p).endswith("['kernel']")
+        else a, params)
+    params = jax.tree.map(jnp.asarray, params)
+    ds = SalData(str(tmp_path), (48, 48), mode="val")
+    host = val_mae(make_eval_step(lc), params, ds, 2, log=lambda *a: None)
+
+    data = build_resident_val_dataset(ds, (48, 48), batch_size=2)
+    canvas = data.pop("_canvas_hw")
+    assert data["image_u8"].shape[0] == 6  # 5 padded to a batch multiple
+    assert float(jnp.sum(data["weight"])) == 5.0
+    val_fn = make_resident_val_fn(make_eval_step(lc, from_u8=True),
+                                  batch_size=2, canvas_hw=canvas)
+    got = float(val_fn(params, data))
+    # host path feeds float-resized inputs, resident stores uint8 (<1/255
+    # input delta); the protocol itself (resize-back + trunc + L1) is exact
+    assert got == pytest.approx(host, abs=3e-3)
+
+
 def test_hybrid_batches_match_host_pipeline(tmp_path):
     """Hybrid front-end (uint8 host aug/resize + fused device normalize) is
     the host pipeline up to uint8 rounding (< 1/255 pre-normalization)."""

@@ -267,6 +267,55 @@ def bench_csf_steps(entries: list) -> None:
             "value": round(secs * 1e3, 2), "unit": "ms"})
 
 
+def bench_resident_val(entries: list) -> None:
+    """One-dispatch resident validation throughput (cli.train's per-epoch val
+    when TPU.PREPROCESS=resident): forward at 224 + per-image native
+    resize-back + quantized L1, whole val split per dispatch."""
+    from sod100k_tpu.arch.csnet import csnet_init
+    from sod100k_tpu.arch.layer_config import init_layers
+    from sod100k_tpu.data.resident import (
+        build_resident_val_dataset,
+        make_resident_val_fn,
+    )
+    from sod100k_tpu.train.step import make_eval_step
+
+    class SynthVal:
+        """DUTS-shaped val split without disk IO (mixed orientations)."""
+
+        def __init__(self, n: int):
+            self.n = n
+            self.rng = np.random.default_rng(11)
+
+        def __len__(self) -> int:
+            return self.n
+
+        def _decode_u8(self, i: int):
+            h, w = (300, 400) if i % 2 else (400, 300)
+            return (self.rng.integers(0, 255, (h, w, 3), np.uint8),
+                    self.rng.integers(0, 255, (h, w), np.uint8))
+
+    n, batch = 512, 128
+    lc = init_layers(40, [0.5, 0.5])
+    params = jax.tree.map(jnp.asarray, csnet_init(jax.random.key(0), lc))
+    data = build_resident_val_dataset(SynthVal(n), (224, 224), batch)
+    canvas = data.pop("_canvas_hw")
+    val_fn = make_resident_val_fn(
+        make_eval_step(lc, from_u8=True, compute_dtype=jnp.bfloat16),
+        batch_size=batch, canvas_hw=canvas)
+    float(val_fn(params, data))  # compile + warm
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(val_fn(params, data))
+        best = min(best, time.perf_counter() - t0)
+    secs = max(best - RPC_LATENCY_S, 1e-9)
+    print(f"# resident val ({n} imgs, canvas {canvas}, bf16 B={batch}): "
+          f"{secs * 1e3:.0f} ms = {n / secs:.0f} img/s", file=sys.stderr)
+    entries.append({
+        "metric": f"csnet_l_x2_resident_val_img_per_sec[bf16,B={batch},n={n}]",
+        "value": round(n / secs, 1), "unit": "images/sec"})
+
+
 def make_synth_duts(root: str, n: int = 512) -> str:
     """DUTS-TR-shaped synthetic set: 300x400/400x300 JPEGs + GT PNGs."""
     from sod100k_tpu.data.synth import make_synth_split
@@ -322,6 +371,7 @@ def main() -> None:
     ap.add_argument("--skip-step", action="store_true")
     ap.add_argument("--skip-latency", action="store_true")
     ap.add_argument("--skip-serving", action="store_true")
+    ap.add_argument("--skip-val", action="store_true")
     ap.add_argument("--data-dir", default="/tmp/sod100k_bench_data_v2")
     args = ap.parse_args()
 
@@ -334,6 +384,8 @@ def main() -> None:
         bench_csnet_train_steps(entries)
     if not args.skip_csf:
         bench_csf_steps(entries)
+    if not args.skip_val:
+        bench_resident_val(entries)
     if not args.skip_e2e:
         bench_e2e_train(entries, args.data_dir)
 
