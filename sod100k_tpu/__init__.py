@@ -26,4 +26,4 @@ Layout:
     config/    yacs-compatible CfgNode so reference YAML configs load unchanged
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

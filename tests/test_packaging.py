@@ -1,0 +1,54 @@
+"""Packaging contract: pyproject.toml parses, its console entry points
+resolve to importable callables, and the dynamic version matches the
+package. Keeps `pip install .` viable without ever running pip in CI."""
+
+import importlib
+import os
+import tomllib
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def pyproject():
+    with open(os.path.join(REPO, "pyproject.toml"), "rb") as f:
+        return tomllib.load(f)
+
+
+def test_pyproject_parses(pyproject):
+    assert pyproject["project"]["name"] == "sod100k-tpu"
+    assert "version" in pyproject["project"]["dynamic"]
+
+
+def test_dynamic_version_attr(pyproject):
+    attr = pyproject["tool"]["setuptools"]["dynamic"]["version"]["attr"]
+    mod_name, _, attr_name = attr.rpartition(".")
+    mod = importlib.import_module(mod_name)
+    version = getattr(mod, attr_name)
+    parts = version.split(".")
+    assert len(parts) >= 2 and all(p.isdigit() for p in parts)
+
+
+def test_console_scripts_resolve(pyproject):
+    scripts = pyproject["project"]["scripts"]
+    assert len(scripts) >= 7
+    for name, target in scripts.items():
+        mod_name, _, fn_name = target.partition(":")
+        mod = importlib.import_module(mod_name)
+        assert callable(getattr(mod, fn_name)), f"{name} -> {target}"
+
+
+def test_package_find_covers_all_subpackages(pyproject):
+    include = pyproject["tool"]["setuptools"]["packages"]["find"]["include"]
+
+    def covered(pkg):
+        return any(pkg == pat.rstrip("*") or pkg.startswith(pat.rstrip("*"))
+                   for pat in include)
+
+    for root, dirs, files in os.walk(os.path.join(REPO, "sod100k_tpu")):
+        if "__init__.py" in files:
+            rel = os.path.relpath(root, REPO).replace(os.sep, ".")
+            assert covered(rel), f"package {rel} not covered by {include}"
+    assert covered("cli")
