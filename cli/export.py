@@ -31,10 +31,14 @@ def main() -> None:
                     choices=["res2net50", "res2net101"])
     ap.add_argument("--size", type=int, default=336, help="csf input size")
     ap.add_argument("--out", required=True)
-    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--batch", default="1",
+                    help="batch size or comma list of bucket sizes "
+                         "(e.g. 1,32,128); the loaded model routes any "
+                         "request batch onto the buckets")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    batch = [int(b) for b in str(args.batch).split(",")]
 
     if args.family == "csnet":
         if not args.config:
@@ -49,7 +53,7 @@ def main() -> None:
         params, _ = load_checkpoint(cfg.TEST.CHECKPOINT)
         hw = (cfg.TEST.IMAGE_H or 224, cfg.TEST.IMAGE_W or 224)
         out = export_artifact(args.out, "csnet", params, lc,
-                              batch=args.batch, hw=hw, dtype=dtype)
+                              batch=batch, hw=hw, dtype=dtype)
     else:
         if not args.model:
             raise SystemExit("--model required for csf export")
@@ -61,7 +65,7 @@ def main() -> None:
         loaded, _ = load_checkpoint(args.model)
         params = merge(params, loaded)
         out = export_artifact(args.out, "csf", params, args.arch,
-                              batch=args.batch, hw=(args.size, args.size),
+                              batch=batch, hw=(args.size, args.size),
                               dtype=dtype)
     print(f"exported serving artifact to {out}")
 

@@ -45,23 +45,40 @@ def _forward_fn(family: str, params, lc, dtype):
 
 
 def export_artifact(out_dir: str, family: str, params, lc, *,
-                    batch: int = 1, hw: tuple[int, int] = (224, 224),
+                    batch=1, hw: tuple[int, int] = (224, 224),
                     dtype=jnp.bfloat16) -> str:
     """Write a serving artifact. `lc` is the LayerConfig for csnet or the
     backbone name ("res2net50"/"res2net101") for csf. Input contract:
     float32 NHWC, [0,1]-scaled and ImageNet-normalized (the cli.test host
-    protocol); output float32 (N,H,W,1) sigmoid saliency."""
+    protocol); output float32 (N,H,W,1) sigmoid saliency.
+
+    `batch` may be an int or a sequence of ints: each size exports its own
+    program (model_b{N}.stablehlo) and the loaded ServingModel routes any
+    request batch onto the buckets (pad to the smallest covering bucket;
+    chunk over the largest). Static shape buckets are the XLA serving
+    discipline — one compile per bucket, ever."""
     from jax import export as jexport
 
+    batches = sorted({int(b) for b in
+                      (batch if isinstance(batch, (list, tuple)) else [batch])})
     params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
     fwd = _forward_fn(family, params, lc, dtype)
-    spec = jax.ShapeDtypeStruct((batch, hw[0], hw[1], 3), jnp.float32)
-    exp = jexport.export(jax.jit(fwd))(spec)
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "model.stablehlo"), "wb") as f:
-        f.write(exp.serialize())
+    for b in batches:
+        spec = jax.ShapeDtypeStruct((b, hw[0], hw[1], 3), jnp.float32)
+        exp = jexport.export(jax.jit(fwd))(spec)
+        with open(os.path.join(out_dir, f"model_b{b}.stablehlo"), "wb") as f:
+            f.write(exp.serialize())
+    if len(batches) == 1:
+        # legacy single-program name kept alongside for older loaders
+        import shutil
+
+        shutil.copyfile(
+            os.path.join(out_dir, f"model_b{batches[0]}.stablehlo"),
+            os.path.join(out_dir, "model.stablehlo"))
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
-        json.dump({"family": family, "batch": batch, "h": hw[0], "w": hw[1],
+        json.dump({"family": family, "batch": batches[-1],
+                   "batches": batches, "h": hw[0], "w": hw[1],
                    "compute_dtype": jnp.dtype(dtype).name,
                    "input": "float32 NHWC, ImageNet-normalized",
                    "output": "float32 (N,H,W,1) sigmoid saliency"}, f,
@@ -70,16 +87,27 @@ def export_artifact(out_dir: str, family: str, params, lc, *,
 
 
 class ServingModel:
-    """Loaded artifact: `model(images) -> saliency` at the exported shape."""
+    """Loaded artifact: `model(images) -> saliency`.
+
+    Any request batch N is served over the exported shape buckets: the
+    smallest covering bucket handles the tail (padded by repeating the last
+    image, padding discarded), the largest bucket handles overflow in
+    chunks. Spatial dims must match the export exactly."""
 
     def __init__(self, path: str):
         from jax import export as jexport
 
-        with open(os.path.join(path, "model.stablehlo"), "rb") as f:
-            self._exp = jexport.deserialize(f.read())
         with open(os.path.join(path, "meta.json")) as f:
             self.meta = json.load(f)
-        self._jitted = jax.jit(self._exp.call)
+        self.batches = sorted(self.meta.get("batches", [self.meta["batch"]]))
+        self._jitted = {}
+        for b in self.batches:
+            fname = os.path.join(path, f"model_b{b}.stablehlo")
+            if not os.path.exists(fname):  # single-program legacy artifact
+                fname = os.path.join(path, "model.stablehlo")
+            with open(fname, "rb") as f:
+                self._exp = jexport.deserialize(f.read())
+            self._jitted[b] = jax.jit(self._exp.call)
 
     @property
     def input_shape(self) -> tuple[int, int, int, int]:
@@ -87,9 +115,21 @@ class ServingModel:
         return (m["batch"], m["h"], m["w"], 3)
 
     def __call__(self, images) -> np.ndarray:
-        x = jnp.asarray(images, jnp.float32)
-        assert x.shape == self.input_shape, (x.shape, self.input_shape)
-        return np.asarray(self._jitted(x))
+        x = np.asarray(images, np.float32)
+        assert x.ndim == 4 and x.shape[1:] == self.input_shape[1:], \
+            (x.shape, self.input_shape)
+        outs, i, n = [], 0, x.shape[0]
+        while i < n:
+            rem = n - i
+            b = next((b for b in self.batches if b >= rem), self.batches[-1])
+            take = min(rem, b)
+            chunk = x[i:i + take]
+            if take < b:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], b - take, axis=0)])
+            outs.append(np.asarray(self._jitted[b](jnp.asarray(chunk)))[:take])
+            i += take
+        return np.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
 def load_artifact(path: str) -> ServingModel:

@@ -29,8 +29,29 @@ def test_export_roundtrip_matches_live_forward(tmp_path):
     # artifact is self-contained bytes on disk
     assert (tmp_path / "art" / "model.stablehlo").stat().st_size > 10_000
 
+    # any request batch routes onto the buckets (pad/chunk); spatial
+    # dims are the hard contract
+    np.testing.assert_allclose(model(x[:1]), want[:1], atol=1e-5)
     with pytest.raises(AssertionError):
-        model(np.zeros((1, 64, 64, 3), np.float32))  # wrong batch
+        model(np.zeros((2, 32, 64, 3), np.float32))  # wrong spatial size
+
+
+def test_export_multi_bucket_routing(tmp_path):
+    """A multi-batch artifact serves any N: pad to the smallest covering
+    bucket, chunk over the largest."""
+    lc = init_layers(8, [0.5, 0.5])
+    params = csnet_init(jax.random.key(2), lc)
+    out = export_artifact(str(tmp_path / "mb"), "csnet", params, lc,
+                          batch=[2, 4], hw=(64, 64), dtype=jnp.float32)
+    model = load_artifact(out)
+    assert model.batches == [2, 4]
+    assert model.input_shape == (4, 64, 64, 3)
+
+    x = np.random.default_rng(3).standard_normal((7, 64, 64, 3)).astype(np.float32)
+    want = np.asarray(jax.nn.sigmoid(
+        csnet_apply(params, jnp.asarray(x), lc, ApplyCtx()).astype(jnp.float32)))
+    for n in (1, 2, 3, 4, 7):  # tail pad, exact, mid bucket, exact, chunked
+        np.testing.assert_allclose(model(x[:n]), want[:n], atol=1e-5)
 
 
 def test_export_csf_family(tmp_path):
