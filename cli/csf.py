@@ -10,10 +10,13 @@ Same argparse surface as the reference (main.py:54-84) plus TPU extras:
 --arch selects the backbone depth, --image_size 0 keeps the reference's
 native-size protocol via shape-bucketed padded batches (masked-sum loss),
 any other value trains at that fixed square size (336 = the Res2Net-101
-recipe). Solver semantics (solver.py): frozen-BN backbone, Adam 5e-5/5e-4
-over trainable params, grad accumulation iter_size, lr/10 after epoch 15
-with optimizer re-creation (moments reset), epoch_save checkpoints, test
-loop writing *_sal_fuse.png + FPS print.
+recipe); --dtype bfloat16 runs mixed-precision compute; --mesh_devices
+shards batches data-parallel; --preprocess resident uploads the uint8
+dataset to HBM once and runs each epoch as one dispatched scan (needs a
+fixed --image_size). Solver semantics (solver.py): frozen-BN backbone,
+Adam 5e-5/5e-4 over trainable params, grad accumulation iter_size, lr/10
+after epoch 15 with optimizer re-creation (moments reset), epoch_save
+checkpoints, test loop writing *_sal_fuse.png + FPS print.
 """
 
 from __future__ import annotations
@@ -107,9 +110,13 @@ def run_csf_train(config, log=print) -> dict:
 
     tx = make_csf_optimizer(weight_decay=config.wd, iter_size=config.iter_size)
     opt_state = tx.init(trainable)
+    compute_dtype = _compute_dtype(config)
+    if compute_dtype is not None:
+        log(f"mixed-precision compute: {jnp.dtype(compute_dtype).name}")
     step = make_csf_train_step(tx, backbone=config.arch,
                                iter_size=config.iter_size,
-                               batch_size=config.batch_size)
+                               batch_size=config.batch_size,
+                               compute_dtype=compute_dtype)
 
     # TPU-native scale-out: shard the batch over a 1-D data mesh
     # (--mesh_devices, 0 = all visible); params/opt state replicated, XLA
@@ -133,6 +140,64 @@ def run_csf_train(config, log=print) -> dict:
     dataset = CSFTrainData(config.train_root, config.train_list)
     lr = config.lr
     losses = []
+
+    if getattr(config, "preprocess", "host") == "resident":
+        # HBM-resident mode (the CSNet driver's TPU.PREPROCESS=resident
+        # counterpart): upload the uint8 dataset once at the fixed train
+        # size and run each epoch as ONE dispatched scan — the host link
+        # (~36 MB/s on the axon tunnel) never sees pixels again.
+        if not config.image_size:
+            raise SystemExit("--preprocess resident needs a fixed "
+                             "--image_size (e.g. 336)")
+        from sod100k_tpu.data.resident import (
+            build_resident_dataset,
+            make_resident_csf_epoch_fn,
+        )
+
+        step_nd = make_csf_train_step(tx, backbone=config.arch,
+                                      iter_size=config.iter_size,
+                                      batch_size=config.batch_size,
+                                      donate=False,
+                                      compute_dtype=compute_dtype)
+        epoch_fn = make_resident_csf_epoch_fn(
+            step_nd, batch_size=config.batch_size, batch_sharding=bsh)
+        rdata = build_resident_dataset(
+            dataset, store_hw=(config.image_size, config.image_size))
+        if bsh is not None:
+            rdata = replicate(rdata, mesh)  # uint8 store on every device
+        nbytes = sum(v.nbytes for v in rdata.values())
+        log(f"resident CSF dataset: {len(dataset)} images at "
+            f"{config.image_size}^2 = {nbytes / 2**20:.0f} MiB in HBM")
+        for epoch in range(config.epoch):
+            trainable, opt_state, ep_losses = epoch_fn(
+                trainable, state, opt_state, rdata,
+                jax.random.key(epoch), jnp.float32(lr))
+            ep_losses = np.asarray(ep_losses)
+            show = max(config.show_every // config.batch_size, 1)
+            for i in range(show, ep_losses.shape[0] + 1, show):
+                r_loss = float(ep_losses[i - show:i].sum())
+                log(f"epoch: [{epoch}/{config.epoch}] iter [{i}] || "
+                    f"Sal : {r_loss:.4f}  lr {lr}")
+                losses.append(r_loss)
+            if (epoch + 1) % config.epoch_save == 0:
+                save_torch_checkpoint(
+                    os.path.join(save_folder, "models",
+                                 f"epoch_{epoch + 1}.pth"),
+                    merge(jax.tree.map(np.asarray, trainable),
+                          jax.tree.map(np.asarray, state)),
+                    epoch=epoch + 1, arch=f"csf_{config.arch}",
+                    rename=CSF_SAVE_RENAME)
+            if epoch in LR_DECAY_EPOCH:
+                lr = lr * 0.1
+                opt_state = tx.init(trainable)  # reference re-creates Adam
+        save_torch_checkpoint(
+            os.path.join(save_folder, "models", "final.pth"),
+            merge(jax.tree.map(np.asarray, trainable),
+                  jax.tree.map(np.asarray, state)),
+            epoch=config.epoch, arch=f"csf_{config.arch}",
+            rename=CSF_SAVE_RENAME)
+        return {"save_folder": save_folder, "losses": losses}
+
     for epoch in range(config.epoch):
         if config.image_size:
             it = fixed_size_batches(dataset, config.batch_size,
@@ -178,13 +243,19 @@ def run_csf_train(config, log=print) -> dict:
     return {"save_folder": save_folder, "losses": losses}
 
 
+def _compute_dtype(config):
+    name = getattr(config, "dtype", "float32") or "float32"
+    return None if name == "float32" else jnp.dtype(name).type
+
+
 def run_csf_test(config, log=print) -> dict:
     import cv2
 
     params = csf_init(jax.random.key(0), backbone=config.arch)
     loaded, _ = load_checkpoint(config.model)
     params = jax.tree.map(jnp.asarray, merge(params, loaded))
-    eval_step = make_csf_eval_step(config.arch)
+    eval_step = make_csf_eval_step(config.arch,
+                                   compute_dtype=_compute_dtype(config))
     dataset = CSFTestData(config.test_root, config.test_list)
     os.makedirs(config.test_fold, exist_ok=True)
     t0 = time.time()
@@ -232,6 +303,17 @@ def main() -> None:
     parser.add_argument("--mesh_devices", type=int, default=0,
                         help="data-parallel devices for training (0 = all "
                              "visible; clamped to a divisor of batch_size)")
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="compute dtype for forward/backward; params, "
+                             "frozen BN state and optimizer stay float32 "
+                             "(the CSNet driver's TPU.DTYPE equivalent)")
+    parser.add_argument("--preprocess", type=str, default="host",
+                        choices=["host", "resident"],
+                        help="resident = upload the uint8 dataset to HBM "
+                             "once (needs fixed --image_size) and run each "
+                             "epoch as one dispatched scan "
+                             "(TPU.PREPROCESS=resident equivalent)")
     config = parser.parse_args()
     os.makedirs(config.save_folder, exist_ok=True)
     config.test_root, config.test_list = get_test_info(config.sal_mode)

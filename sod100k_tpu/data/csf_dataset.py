@@ -61,6 +61,23 @@ class CSFTrainData:
             img, gt = img[:, ::-1], gt[:, ::-1]
         return {"image": img, "target": gt}
 
+    def _decode_u8(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
+        """Raw uint8 (image HWC RGB, gt HW) at native resolution — no flip
+        and no normalization; the resident front-end does both on device."""
+        import cv2
+
+        im_name, gt_name = self.pairs[idx][0], self.pairs[idx][1]
+        img = cv2.imread(os.path.join(self.root, im_name))
+        if img is None:
+            raise FileNotFoundError(os.path.join(self.root, im_name))
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        gt = cv2.imread(os.path.join(self.root, gt_name), cv2.IMREAD_UNCHANGED)
+        if gt is None:
+            raise FileNotFoundError(os.path.join(self.root, gt_name))
+        if gt.ndim == 3:
+            gt = gt[:, :, 0]
+        return img, gt
+
 
 class CSFTestData:
     def __init__(self, data_root: str, data_list: str):

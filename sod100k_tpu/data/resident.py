@@ -110,6 +110,56 @@ def make_resident_epoch_fn(step_fn, *, batch_size: int,
     return epoch_fn
 
 
+def make_resident_csf_epoch_fn(step_fn, *, batch_size: int,
+                               batch_sharding=None):
+    """One-dispatch CSF epoch over a resident fixed-size dataset.
+
+    CSF dialect (csf_dataset.py / reference dataset.py): per-sample random
+    horizontal flip at p=0.5, RGB /255 then ImageNet normalization, GT /255 —
+    no crop. step_fn is a make_csf_train_step-style pure function built with
+    donate=False: (trainable, state, opt_state, batch, lr) ->
+    (trainable, opt_state, metrics); BN state is frozen during CSF training
+    (reference net.eval(), solver.py:49) so it is closed over per call, not
+    carried. batch_sharding constrains the gathered batch under a data mesh.
+
+    Returns epoch_fn(trainable, state, opt_state, data, key, lr)
+    -> (trainable, opt_state, losses (nb,)).
+    """
+    from .pipeline import IMAGENET_MEAN, IMAGENET_STD
+
+    @functools.partial(jax.jit, donate_argnums=(0, 2))
+    def epoch_fn(trainable, state, opt_state, data, key, lr):
+        n = data["image_u8"].shape[0]
+        nb = n // batch_size
+        kperm, kflip = jax.random.split(key)
+        perm = jax.random.permutation(kperm, n)[: nb * batch_size]
+        perm = perm.reshape(nb, batch_size)
+        flips = jax.random.bernoulli(kflip, 0.5, (nb, batch_size))
+
+        def body(carry, args):
+            t, o = carry
+            idxs, fl = args
+            img = data["image_u8"][idxs]
+            gt = data["gt_u8"][idxs]
+            if batch_sharding is not None:
+                img = jax.lax.with_sharding_constraint(img, batch_sharding)
+                gt = jax.lax.with_sharding_constraint(gt, batch_sharding)
+            img = jnp.where(fl[:, None, None, None], img[:, :, ::-1], img)
+            gt = jnp.where(fl[:, None, None], gt[:, :, ::-1], gt)
+            im = (img.astype(jnp.float32) / 255.0
+                  - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+            batch = {"image": im,
+                     "target": gt.astype(jnp.float32)[..., None] / 255.0}
+            t, o, m = step_fn(t, state, o, batch, lr)
+            return (t, o), m["loss"]
+
+        (trainable, opt_state), losses = jax.lax.scan(
+            body, (trainable, opt_state), (perm, flips))
+        return trainable, opt_state, losses
+
+    return epoch_fn
+
+
 def build_resident_val_dataset(dataset, in_hw: tuple[int, int],
                                batch_size: int, sharding=None) -> dict:
     """Upload the whole val split once: model inputs at the train size

@@ -74,13 +74,21 @@ def make_csf_optimizer(lr: float = 5e-5, weight_decay: float = 5e-4,
 def make_csf_train_step(tx: optax.GradientTransformation, *,
                         backbone: str = "res2net50",
                         iter_size: int = 10, batch_size: int = 1,
-                        donate: bool = True):
+                        donate: bool = True, compute_dtype=None):
     """Jitted micro-batch step. batch: {"image","target"} (+optional "mask"
-    over pixels for padded batches); loss = sum(BCE * mask)/(iter*batch)."""
+    over pixels for padded batches); loss = sum(BCE * mask)/(iter*batch).
+
+    ``compute_dtype=jnp.bfloat16`` runs the forward/backward in mixed
+    precision (activations bf16 — the ops cast weights to the activation
+    dtype and the convs accumulate in f32; params, frozen-BN state, loss and
+    optimizer moments stay f32), mirroring the CSNet step's TPU.DTYPE."""
 
     def loss_fn(trainable, state, batch):
         params = merge(trainable, state)
-        logits = csf_apply(params, batch["image"], backbone).astype(jnp.float32)
+        image = batch["image"]
+        if compute_dtype is not None:
+            image = image.astype(compute_dtype)
+        logits = csf_apply(params, image, backbone).astype(jnp.float32)
         bce = optax.sigmoid_binary_cross_entropy(
             logits, batch["target"].astype(jnp.float32))
         if "mask" in batch:
@@ -97,9 +105,12 @@ def make_csf_train_step(tx: optax.GradientTransformation, *,
     return jax.jit(step, donate_argnums=(0, 2) if donate else ())
 
 
-def make_csf_eval_step(backbone: str = "res2net50"):
+def make_csf_eval_step(backbone: str = "res2net50", compute_dtype=None):
     @jax.jit
     def step(params, image):
-        return jax.nn.sigmoid(csf_apply(params, image, backbone))
+        if compute_dtype is not None:
+            image = image.astype(compute_dtype)
+        logits = csf_apply(params, image, backbone).astype(jnp.float32)
+        return jax.nn.sigmoid(logits)
 
     return step

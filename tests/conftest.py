@@ -20,6 +20,13 @@ import jax  # noqa: E402
 # JAX_PLATFORMS; pin the platform again post-import (before any backend init).
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache (keyed by HLO + platform, so it coexists with the
+# TPU entries bench.py writes): the suite is dominated by XLA CPU compiles of
+# the big train steps — reruns hit the cache and take a fraction of the time.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

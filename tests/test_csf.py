@@ -112,3 +112,43 @@ def test_fetch_res2net_weights_offline_and_cache(tmp_path):
     out = fetch_res2net_weights("res2net50", cache_dir=str(tmp_path),
                                 timeout=0.25)
     assert out == str(tmp_path / fname)
+
+
+def test_csf_bf16_train_step_matches_f32():
+    """--dtype bfloat16 (mixed precision): one micro-step's loss and updated
+    params must track the f32 step closely — params/optimizer stay f32, only
+    activations run bf16 (csf_step.py compute_dtype)."""
+    from sod100k_tpu.train.csf_step import (
+        csf_partition,
+        make_csf_optimizer,
+        make_csf_train_step,
+    )
+
+    params = csf_init(jax.random.key(3))
+    trainable, state = csf_partition(params)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((2, 32, 32, 3),
+                                                 dtype=np.float32)),
+        "target": jnp.asarray((rng.random((2, 32, 32, 1)) > 0.5)
+                              .astype(np.float32)),
+    }
+    outs = {}
+    for name, dt in [("f32", None), ("bf16", jnp.bfloat16)]:
+        tx = make_csf_optimizer(iter_size=1)
+        step = make_csf_train_step(tx, iter_size=1, batch_size=2,
+                                   donate=False, compute_dtype=dt)
+        t2, _, m = step(jax.tree.map(jnp.array, trainable), state,
+                        tx.init(trainable), batch, jnp.float32(5e-5))
+        outs[name] = (float(m["loss"]), t2)
+        assert all(v.dtype == jnp.float32 for v in jax.tree.leaves(t2))
+    lf, tf = outs["f32"]
+    lb, tb = outs["bf16"]
+    assert np.isfinite(lb)
+    assert abs(lb - lf) / max(abs(lf), 1e-6) < 0.05, (lb, lf)
+    # Adam normalizes the first-step update to +-lr per weight, so the
+    # worst case between precisions is a sign flip on a near-zero gradient:
+    # |delta| <= 2*lr (+ wd slack). Anything above that means the update
+    # rule itself diverged, not just the gradient's low bits.
+    diffs = jax.tree.map(lambda a, b: float(np.max(np.abs(a - b))), tf, tb)
+    assert max(jax.tree.leaves(diffs)) < 2.2 * 5e-5

@@ -132,3 +132,74 @@ def test_csf_cli_train_and_test(csf_root, tmp_path):
     res = run_csf_test(config, log=lambda *a, **k: None)
     assert res["n"] == 4
     assert len(os.listdir(config.test_fold)) == 4
+
+
+def test_resident_csf_epoch_matches_host_math(csf_root):
+    """One resident CSF epoch == a host emulation with the same PRNG draws:
+    gather by the same permutation, same per-sample flips, cv2-dialect
+    normalization — checked through a checksum 'loss' that is sensitive to
+    pixel position (catches wrong flip axis / normalization / gather)."""
+    from sod100k_tpu.data.csf_dataset import CSFTrainData
+    from sod100k_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+    from sod100k_tpu.data.resident import (
+        build_resident_dataset,
+        make_resident_csf_epoch_fn,
+    )
+
+    ds = CSFTrainData(str(csf_root), str(csf_root / "train.lst"))
+    rdata = build_resident_dataset(ds, store_hw=(32, 32))
+    bs = 2
+
+    col = jnp.arange(32, dtype=jnp.float32)[None, None, :, None]
+
+    def fake_step(t, s, o, batch, lr):
+        loss = (jnp.sum(batch["image"] * col)
+                + jnp.sum(batch["target"][..., 0] * col[..., 0]))
+        return t, o, {"loss": loss}
+
+    epoch_fn = make_resident_csf_epoch_fn(fake_step, batch_size=bs)
+    t0, o0 = {"w": jnp.zeros(())}, {"m": jnp.zeros(())}
+    _, _, losses = epoch_fn(t0, {}, o0, rdata, jax.random.key(7),
+                            jnp.float32(0.0))
+
+    # host emulation with the identical random draws
+    kperm, kflip = jax.random.split(jax.random.key(7))
+    n = rdata["image_u8"].shape[0]
+    nb = n // bs
+    perm = np.asarray(jax.random.permutation(kperm, n)[: nb * bs]).reshape(nb, bs)
+    flips = np.asarray(jax.random.bernoulli(kflip, 0.5, (nb, bs)))
+    imgs = np.asarray(rdata["image_u8"])
+    gts = np.asarray(rdata["gt_u8"])
+    ccol = np.arange(32, dtype=np.float32)
+    for b in range(nb):
+        want = 0.0
+        for j in range(bs):
+            im = imgs[perm[b, j]]
+            gt = gts[perm[b, j]]
+            if flips[b, j]:
+                im, gt = im[:, ::-1], gt[:, ::-1]
+            imn = (im.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+            want += float((imn * ccol[None, :, None]).sum())
+            want += float((gt.astype(np.float32) / 255.0 * ccol[None, :]).sum())
+        assert float(losses[b]) == pytest.approx(want, rel=1e-5)
+
+
+def test_csf_cli_train_resident(csf_root, tmp_path):
+    """--preprocess resident: the driver trains end-to-end from HBM-resident
+    data (one dispatch per epoch) and saves loadable checkpoints."""
+    from cli.csf import run_csf_train
+
+    config = types.SimpleNamespace(
+        lr=5e-5, wd=5e-4, pretrained_model="", epoch=2, batch_size=2,
+        load="", save_folder=str(tmp_path / "out"), epoch_save=2, iter_size=2,
+        show_every=2, train_root=str(csf_root),
+        train_list=str(csf_root / "train.lst"), arch="res2net50",
+        image_size=32, mesh_devices=2, preprocess="resident",
+        dtype="bfloat16",
+    )
+    os.makedirs(config.save_folder)
+    out = run_csf_train(config, log=lambda *a, **k: None)
+    assert len(out["losses"]) >= 2
+    assert all(np.isfinite(v) for v in out["losses"])
+    final = os.path.join(out["save_folder"], "models", "final.pth")
+    assert os.path.exists(final)

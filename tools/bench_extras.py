@@ -239,10 +239,13 @@ def bench_csf_steps(entries: list) -> None:
     params = csf_init(jax.random.key(1))
     trainable, state = csf_partition(params)
     K = 4
-    for batch_size in (1, 8):
+    for batch_size, dtype_name in ((1, "f32"), (8, "f32"),
+                                   (8, "bf16"), (32, "bf16")):
+        cdt = jnp.bfloat16 if dtype_name == "bf16" else None
         tx = make_csf_optimizer(iter_size=10)
         opt_state = tx.init(trainable)
-        step = make_csf_train_step(tx, iter_size=10, batch_size=batch_size)
+        step = make_csf_train_step(tx, iter_size=10, batch_size=batch_size,
+                                   compute_dtype=cdt)
         rng = np.random.default_rng(0)
         batch = {
             "image": jnp.asarray(rng.standard_normal(
@@ -259,12 +262,61 @@ def bench_csf_steps(entries: list) -> None:
         carry0 = jax.tree.map(lambda a: jnp.array(a, copy=True),
                               (trainable, opt_state))
         secs, _ = _timed_chain(once, carry0, K)
-        print(f"# csf_res2net50 336 train micro-step B={batch_size}: "
-              f"{secs * 1e3:.1f} ms ({batch_size / secs:.1f} img/s)",
-              file=sys.stderr)
+        print(f"# csf_res2net50 336 train micro-step {dtype_name} "
+              f"B={batch_size}: {secs * 1e3:.1f} ms "
+              f"({batch_size / secs:.1f} img/s)", file=sys.stderr)
+        suffix = f"[B={batch_size}]" if dtype_name == "f32" \
+            else f"[{dtype_name},B={batch_size}]"
         entries.append({
-            "metric": f"csf_res2net50_336_train_microstep_ms[B={batch_size}]",
+            "metric": f"csf_res2net50_336_train_microstep_ms{suffix}",
             "value": round(secs * 1e3, 2), "unit": "ms"})
+
+
+def bench_csf_resident_epoch(entries: list) -> None:
+    """Resident-CSF training throughput: uint8 dataset in HBM at 336^2, one
+    dispatched scan per epoch (cli.csf --preprocess resident --dtype
+    bfloat16). The per-batch host paths ship 336^2 pixels over the ~36 MB/s
+    tunnel (~100 img/s ceiling at uint8, ~25 at f32) — resident pays one RPC
+    per epoch instead."""
+    from sod100k_tpu.arch.csf_res2net import csf_init
+    from sod100k_tpu.data.resident import make_resident_csf_epoch_fn
+    from sod100k_tpu.train.csf_step import (
+        csf_partition,
+        make_csf_optimizer,
+        make_csf_train_step,
+    )
+
+    n, batch_size = 256, 8
+    rng = np.random.default_rng(9)
+    rdata = {
+        "image_u8": jax.device_put(rng.integers(
+            0, 255, (n, 336, 336, 3), dtype=np.uint8)),
+        "gt_u8": jax.device_put(rng.integers(
+            0, 255, (n, 336, 336), dtype=np.uint8)),
+    }
+    params = csf_init(jax.random.key(1))
+    trainable, state = csf_partition(params)
+    tx = make_csf_optimizer(iter_size=10)
+    step = make_csf_train_step(tx, iter_size=10, batch_size=batch_size,
+                               donate=False, compute_dtype=jnp.bfloat16)
+    epoch_fn = make_resident_csf_epoch_fn(step, batch_size=batch_size)
+
+    def once(carry):
+        t, o, k = carry
+        t, o, losses = epoch_fn(t, state, o, rdata, jax.random.key(0),
+                                jnp.float32(5e-5))
+        return (t, o, k + losses[-1] * 1e-9)
+
+    carry0 = (jax.tree.map(lambda a: jnp.array(jnp.asarray(a), copy=True),
+                           trainable),
+              tx.init(trainable), jnp.float32(0.0))
+    secs, _ = _timed_chain(once, carry0, k=2)
+    ips = (n // batch_size) * batch_size / secs
+    print(f"# csf resident epoch bf16 B={batch_size} (n={n} @336): "
+          f"{secs * 1e3:.0f} ms/epoch = {ips:.1f} img/s", file=sys.stderr)
+    entries.append({
+        "metric": f"csf_res2net50_336_resident_train_img_per_sec[bf16,B={batch_size}]",
+        "value": round(ips, 1), "unit": "images/sec"})
 
 
 def bench_resident_val(entries: list) -> None:
@@ -384,6 +436,7 @@ def main() -> None:
         bench_csnet_train_steps(entries)
     if not args.skip_csf:
         bench_csf_steps(entries)
+        bench_csf_resident_epoch(entries)
     if not args.skip_val:
         bench_resident_val(entries)
     if not args.skip_e2e:
