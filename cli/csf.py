@@ -254,19 +254,34 @@ def run_csf_test(config, log=print) -> dict:
     params = csf_init(jax.random.key(0), backbone=config.arch)
     loaded, _ = load_checkpoint(config.model)
     params = jax.tree.map(jnp.asarray, merge(params, loaded))
+    # device-quantized uint8 readback: exact parity with the reference's
+    # (255*sigmoid).astype(uint8) since the map is written at native size
     eval_step = make_csf_eval_step(config.arch,
-                                   compute_dtype=_compute_dtype(config))
+                                   compute_dtype=_compute_dtype(config),
+                                   quantize_u8=True)
     dataset = CSFTestData(config.test_root, config.test_list)
     os.makedirs(config.test_fold, exist_ok=True)
     t0 = time.time()
+
+    # one-deep pipeline: the async eval_step dispatch lets image k's forward
+    # + readback overlap image k+1's host decode/normalize
+    def flush(pending):
+        name, dev_pred = pending
+        out = np.asarray(dev_pred)[0, ..., 0]  # uint8 from device
+        name = os.path.splitext(os.path.basename(name))[0]
+        cv2.imwrite(os.path.join(config.test_fold, name + "_sal_fuse.png"), out)
+
+    pending = None
     for i in range(len(dataset)):
         s = dataset[i]
         # native-size forward like the reference (solver.py:62-78); jit caches
         # one executable per distinct image shape
-        pred = np.asarray(eval_step(params, jnp.asarray(s["image"][None])))[0, ..., 0]
-        out = (255 * pred).astype(np.uint8)
-        name = os.path.splitext(os.path.basename(s["name"]))[0]
-        cv2.imwrite(os.path.join(config.test_fold, name + "_sal_fuse.png"), out)
+        pred = eval_step(params, jnp.asarray(s["image"][None]))
+        if pending is not None:
+            flush(pending)
+        pending = (s["name"], pred)
+    if pending is not None:
+        flush(pending)
     dt = time.time() - t0
     log("Speed: %f FPS" % (len(dataset) / dt))
     log("Test Done!")

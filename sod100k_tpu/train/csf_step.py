@@ -105,12 +105,22 @@ def make_csf_train_step(tx: optax.GradientTransformation, *,
     return jax.jit(step, donate_argnums=(0, 2) if donate else ())
 
 
-def make_csf_eval_step(backbone: str = "res2net50", compute_dtype=None):
+def make_csf_eval_step(backbone: str = "res2net50", compute_dtype=None,
+                       quantize_u8: bool = False):
+    """quantize_u8 returns trunc(sigmoid*255) as uint8 — bit-identical to the
+    host's `(255 * pred).astype(np.uint8)` (the reference writes the map at
+    native size with no resize-back, solver.py:62-78, so on-device PNG
+    quantization is EXACT parity) while shrinking the readback 4x; the wire
+    is the e2e bottleneck on the axon tunnel."""
+
     @jax.jit
     def step(params, image):
         if compute_dtype is not None:
             image = image.astype(compute_dtype)
         logits = csf_apply(params, image, backbone).astype(jnp.float32)
-        return jax.nn.sigmoid(logits)
+        sig = jax.nn.sigmoid(logits)
+        if quantize_u8:
+            return jnp.trunc(sig * 255.0).astype(jnp.uint8)
+        return sig
 
     return step

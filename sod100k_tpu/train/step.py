@@ -104,11 +104,18 @@ def make_train_step(
 
 
 def make_eval_step(lc: LayerConfig, *, pallas: bool = False,
-                   from_u8: bool = False, compute_dtype=None):
+                   from_u8: bool = False, compute_dtype=None,
+                   quantize_u8: bool = False):
     """Jitted inference step: image batch -> sigmoid saliency maps (N,H,W,1).
 
     from_u8 fuses [0,1] scaling + ImageNet normalization into the dispatch
-    (hybrid front-end: the host ships resized uint8, 4x less link traffic)."""
+    (hybrid front-end: the host ships resized uint8, 4x less link traffic).
+    quantize_u8 returns trunc(sigmoid*255) as uint8 — the PNG quantization
+    applied on device, so the readback is 4x smaller too (the wire is the
+    e2e inference bottleneck). The host then resizes the quantized map back
+    to native size; vs the reference's resize-then-quantize order this can
+    differ by +-1/255 on interpolated pixels, so the parity-default host
+    mode keeps the f32 readback."""
 
     @jax.jit
     def step(params, image):
@@ -120,7 +127,10 @@ def make_eval_step(lc: LayerConfig, *, pallas: bool = False,
         if compute_dtype is not None:
             image = image.astype(compute_dtype)
         logits = csnet_apply(params, image, lc, ApplyCtx(pallas=pallas))
-        return jax.nn.sigmoid(logits.astype(jnp.float32))
+        sig = jax.nn.sigmoid(logits.astype(jnp.float32))
+        if quantize_u8:
+            return jnp.trunc(sig * 255.0).astype(jnp.uint8)
+        return sig
 
     return step
 

@@ -133,6 +133,24 @@ def test_csf_cli_train_and_test(csf_root, tmp_path):
     assert res["n"] == 4
     assert len(os.listdir(config.test_fold)) == 4
 
+    # the driver's device-quantized uint8 readback must be bit-identical to
+    # the reference's host-side (255 * sigmoid).astype(uint8) at native size
+    from sod100k_tpu.data.csf_dataset import CSFTestData
+    from sod100k_tpu.interop.torch_ckpt import load_checkpoint
+    from sod100k_tpu.train.params import merge
+
+    params = csf_init(jax.random.key(0), backbone="res2net50")
+    loaded, _ = load_checkpoint(final)
+    params = jax.tree.map(jnp.asarray, merge(params, loaded))
+    ds = CSFTestData(config.test_root, config.test_list)
+    s = ds[0]
+    f = make_csf_eval_step("res2net50")(params, jnp.asarray(s["image"][None]))
+    expect = (255 * np.asarray(f)[0, ..., 0]).astype(np.uint8)
+    name = os.path.splitext(os.path.basename(s["name"]))[0]
+    got = cv2.imread(os.path.join(config.test_fold, name + "_sal_fuse.png"),
+                     cv2.IMREAD_GRAYSCALE)
+    np.testing.assert_array_equal(got, expect)
+
 
 def test_resident_csf_epoch_matches_host_math(csf_root):
     """One resident CSF epoch == a host emulation with the same PRNG draws:

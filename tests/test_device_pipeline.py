@@ -242,3 +242,23 @@ def test_data_cache_decodes_once_and_matches(tmp_path, monkeypatch):
                                atol=1e-6)
     np.testing.assert_allclose(sample_cached["target"], ds_nc[0]["target"],
                                atol=1e-6)
+
+
+def test_eval_step_quantize_u8_matches_float_path():
+    """quantize_u8 (cli.test hybrid/device modes, 4x smaller readback) is
+    exactly trunc(sigmoid*255) of the float path's output."""
+    from sod100k_tpu.arch.csnet import csnet_init
+    from sod100k_tpu.arch.layer_config import init_layers
+    from sod100k_tpu.train.step import make_eval_step
+
+    lc = init_layers(8, [0.5, 0.5])
+    params = jax.tree.map(
+        lambda a: jnp.asarray(a) / 6.0,  # tame the x100 conv scaling at init
+        csnet_init(jax.random.key(0), lc))
+    img = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (2, 64, 64, 3), dtype=np.uint8))
+    f = make_eval_step(lc, from_u8=True)(params, img)
+    q = make_eval_step(lc, from_u8=True, quantize_u8=True)(params, img)
+    assert q.dtype == jnp.uint8
+    np.testing.assert_array_equal(
+        np.asarray(q), np.trunc(np.asarray(f) * 255.0).astype(np.uint8))

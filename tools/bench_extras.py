@@ -416,6 +416,47 @@ def bench_e2e_train(entries: list, data_root: str) -> None:
             "value": round(ips, 1), "unit": "images/sec"})
 
 
+def bench_e2e_test(entries: list, data_root: str) -> None:
+    """End-to-end cli.test throughput (decode -> preprocess -> forward ->
+    resize-back -> PNG dump) per TEST_PREPROCESS placement, bf16 B=128 at
+    224^2 on a 512-image synthetic set. The driver pipelines one batch deep
+    (async dispatch overlaps host decode + readback with device compute)."""
+    import tempfile
+
+    from cli.test import run_test
+    from sod100k_tpu.config import get_cfg
+    from sod100k_tpu.data.synth import make_synth_split
+
+    ds = "SYNTH-TE"
+    make_synth_split(os.path.join(data_root, ds), 512, hw=(400, 300))
+    stem = "/root/reference/CSNet/checkpoints/csnet-L-x2/csnet-L-x2"
+    if not os.path.exists(stem + ".bin"):
+        print("# e2e test bench skipped (shipped checkpoint unavailable)",
+              file=sys.stderr)
+        return
+    for mode in ("hybrid", "device", "host"):
+        cfg = get_cfg()
+        cfg.TASK = f"bench_test_{mode}"
+        cfg.TEST.MODEL_CONFIG = stem + ".bin"
+        cfg.TEST.CHECKPOINT = stem + ".pth.tar"
+        cfg.TEST.DATASET_PATH = data_root
+        cfg.TEST.DATASETS = [ds]
+        cfg.TEST.IMAGE_H = cfg.TEST.IMAGE_W = 224
+        cfg.DATA.BATCH_SIZE = 128
+        cfg.DATA.WORKERS = 4
+        cfg.TPU.DTYPE = "bfloat16"
+        cfg.TPU.TEST_PREPROCESS = mode
+        cfg.DATA.SAVEDIR = tempfile.mkdtemp(prefix="sod_benchtest_")
+        run_test(cfg, log=lambda *a, **k: None)  # compile + warm
+        out = run_test(cfg, log=lambda *a, **k: None)
+        ips = out["datasets"][ds]["img_per_sec"]
+        print(f"# e2e cli.test img/s ({mode} preprocess, bf16, B=128): "
+              f"{ips:.1f}", file=sys.stderr)
+        entries.append({
+            "metric": f"csnet_l_x2_224_e2e_test_img_per_sec[{mode}_preprocess,bf16,B=128]",
+            "value": round(ips, 1), "unit": "images/sec"})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-e2e", action="store_true")
@@ -441,6 +482,7 @@ def main() -> None:
         bench_resident_val(entries)
     if not args.skip_e2e:
         bench_e2e_train(entries, args.data_dir)
+        bench_e2e_test(entries, args.data_dir)
 
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "bench_extras.json")
