@@ -151,6 +151,28 @@ def test_csf_cli_train_and_test(csf_root, tmp_path):
                      cv2.IMREAD_GRAYSCALE)
     np.testing.assert_array_equal(got, expect)
 
+    # --test_batch > 1 (uniform-size speed protocol): batched dispatch with a
+    # padded trailing partial must write bit-identical maps to the B=1 loop
+    rng = np.random.default_rng(7)
+    os.makedirs(csf_root / "uni", exist_ok=True)
+    for i in range(3):
+        cv2.imwrite(str(csf_root / "uni" / f"u{i}.jpg"),
+                    rng.integers(0, 255, (48, 56, 3), dtype=np.uint8))
+    (csf_root / "uni.lst").write_text(
+        "\n".join(f"uni/u{i}.jpg" for i in range(3)) + "\n")
+    config.test_list = str(csf_root / "uni.lst")
+    outs = {}
+    for tb in (1, 2):
+        config.test_batch = tb
+        config.test_fold = str(tmp_path / f"maps_tb{tb}")
+        run_csf_test(config, log=lambda *a, **k: None)
+        outs[tb] = {f: cv2.imread(os.path.join(config.test_fold, f),
+                                  cv2.IMREAD_GRAYSCALE)
+                    for f in sorted(os.listdir(config.test_fold))}
+    assert sorted(outs[1]) == sorted(outs[2]) and len(outs[1]) == 3
+    for f in outs[1]:
+        np.testing.assert_array_equal(outs[1][f], outs[2][f])
+
 
 def test_resident_csf_epoch_matches_host_math(csf_root):
     """One resident CSF epoch == a host emulation with the same PRNG draws:

@@ -460,6 +460,8 @@ def bench_e2e_test(entries: list, data_root: str) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-e2e", action="store_true")
+    ap.add_argument("--skip-e2e-train", action="store_true")
+    ap.add_argument("--skip-e2e-test", action="store_true")
     ap.add_argument("--skip-csf", action="store_true")
     ap.add_argument("--skip-step", action="store_true")
     ap.add_argument("--skip-latency", action="store_true")
@@ -481,8 +483,10 @@ def main() -> None:
     if not args.skip_val:
         bench_resident_val(entries)
     if not args.skip_e2e:
-        bench_e2e_train(entries, args.data_dir)
-        bench_e2e_test(entries, args.data_dir)
+        if not args.skip_e2e_train:
+            bench_e2e_train(entries, args.data_dir)
+        if not args.skip_e2e_test:
+            bench_e2e_test(entries, args.data_dir)
 
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "bench_extras.json")
