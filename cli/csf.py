@@ -255,11 +255,14 @@ def run_csf_test(config, log=print) -> dict:
     params = csf_init(jax.random.key(0), backbone=config.arch)
     loaded, _ = load_checkpoint(config.model)
     params = jax.tree.map(jnp.asarray, merge(params, loaded))
-    # device-quantized uint8 readback: exact parity with the reference's
-    # (255*sigmoid).astype(uint8) since the map is written at native size
+    # u8 in, u8 out: ship raw uint8 pixels (normalization fused on device,
+    # same f32 math as the host's dataset.py:69-81 dialect) and read back
+    # trunc(sigmoid*255) uint8 — exact parity with the reference's
+    # (255*sigmoid).astype(uint8) since the map is written at native size;
+    # 4x less wire traffic in BOTH directions (the e2e bottleneck)
     eval_step = make_csf_eval_step(config.arch,
                                    compute_dtype=_compute_dtype(config),
-                                   quantize_u8=True)
+                                   quantize_u8=True, from_u8=True)
     dataset = CSFTestData(config.test_root, config.test_list)
     os.makedirs(config.test_fold, exist_ok=True)
     # --test_batch > 1: batch consecutive same-shape images into one
@@ -299,7 +302,7 @@ def run_csf_test(config, log=print) -> dict:
         buf_imgs.clear()
 
     for i in range(len(dataset)):
-        s = dataset[i]
+        s = dataset.get_u8(i)
         if buf_imgs and buf_imgs[0].shape != s["image"].shape:
             dispatch()  # shape break: flush the current same-shape run
         buf_names.append(s["name"])

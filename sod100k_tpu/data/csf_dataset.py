@@ -93,6 +93,19 @@ class CSFTestData:
         return {"image": img, "name": self.names[idx],
                 "size": img.shape[:2]}
 
+    def get_u8(self, idx: int) -> dict:
+        """Raw uint8 RGB at native size — for the TPU driver's u8 ship with
+        on-device /255 + ImageNet normalize (4x less host->device traffic
+        than the host-normalized f32 protocol, same math in f32 on device)."""
+        import cv2
+
+        path = os.path.join(self.root, self.names[idx])
+        im = cv2.imread(path)
+        if im is None:
+            raise FileNotFoundError(path)
+        return {"image": cv2.cvtColor(im, cv2.COLOR_BGR2RGB),
+                "name": self.names[idx], "size": im.shape[:2]}
+
 
 class CSFJointTrainData(CSFTrainData):
     """Saliency + edge-label variant (reference dataset/joint_dataset.py —

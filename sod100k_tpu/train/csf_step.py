@@ -106,15 +106,26 @@ def make_csf_train_step(tx: optax.GradientTransformation, *,
 
 
 def make_csf_eval_step(backbone: str = "res2net50", compute_dtype=None,
-                       quantize_u8: bool = False):
+                       quantize_u8: bool = False, from_u8: bool = False):
     """quantize_u8 returns trunc(sigmoid*255) as uint8 — bit-identical to the
     host's `(255 * pred).astype(np.uint8)` (the reference writes the map at
     native size with no resize-back, solver.py:62-78, so on-device PNG
     quantization is EXACT parity) while shrinking the readback 4x; the wire
-    is the e2e bottleneck on the axon tunnel."""
+    is the e2e bottleneck on the axon tunnel.
+
+    from_u8 takes raw uint8 RGB and fuses the /255 + ImageNet normalization
+    (the reference's host-side dataset.py:69-81) into the dispatch: 4x less
+    upload too. The fused math is the same f32 `(x/255 - mean)/std` sequence,
+    so results are bit-identical to the host-normalized path."""
+    from sod100k_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
 
     @jax.jit
     def step(params, image):
+        if from_u8:
+            image = (image.astype(jnp.float32) / 255.0 - mean) / std
         if compute_dtype is not None:
             image = image.astype(compute_dtype)
         logits = csf_apply(params, image, backbone).astype(jnp.float32)

@@ -457,6 +457,58 @@ def bench_e2e_test(entries: list, data_root: str) -> None:
             "value": round(ips, 1), "unit": "images/sec"})
 
 
+def bench_csf_e2e_test(entries: list, data_root: str) -> None:
+    """End-to-end CSF test-mode FPS (the reference's speed protocol,
+    solver.py:76-77: decode -> forward -> native-size *_sal_fuse.png dump)
+    on a uniform 336^2 synthetic list — the m_r resized-MSRA shape regime.
+    Measures the reference B=1 loop vs --test_batch batched serving, both
+    with the u8-in/u8-out wire format and one-deep pipelining."""
+    import tempfile
+    import types
+
+    import cv2
+
+    from cli.csf import run_csf_test
+
+    root = os.path.join(data_root, "CSF-MR")
+    lst = os.path.join(root, "test.lst")
+    if not os.path.exists(lst):
+        os.makedirs(os.path.join(root, "Imgs"), exist_ok=True)
+        rng = np.random.default_rng(3)
+        names = []
+        for i in range(256):
+            cv2.imwrite(os.path.join(root, "Imgs", f"m{i}.jpg"),
+                        rng.integers(0, 255, (336, 336, 3), dtype=np.uint8))
+            names.append(f"Imgs/m{i}.jpg")
+        with open(lst, "w") as f:
+            f.write("\n".join(names) + "\n")
+
+    # random-init weights are fine for a speed protocol (same FLOPs)
+    from cli.common import save_torch_checkpoint
+    from cli.csf import CSF_SAVE_RENAME
+    from sod100k_tpu.arch.csf_res2net import csf_init
+
+    ck = os.path.join(root, "init.pth")
+    if not os.path.exists(ck):
+        p = csf_init(jax.random.key(0), backbone="res2net50")
+        save_torch_checkpoint(ck, jax.tree.map(np.asarray, p), epoch=0,
+                              arch="csf_res2net50", rename=CSF_SAVE_RENAME)
+
+    for tb in (1, 16):
+        config = types.SimpleNamespace(
+            arch="res2net50", model=ck, test_root=root, test_list=lst,
+            test_fold=tempfile.mkdtemp(prefix="csf_benchtest_"),
+            dtype="bfloat16", test_batch=tb)
+        run_csf_test(config, log=lambda *a, **k: None)  # compile + warm
+        out = run_csf_test(config, log=lambda *a, **k: None)
+        fps = out["fps"]
+        print(f"# e2e cli.csf test FPS (336^2 uniform, bf16, "
+              f"test_batch={tb}): {fps:.1f}", file=sys.stderr)
+        entries.append({
+            "metric": f"csf_res2net50_336_e2e_test_fps[bf16,test_batch={tb}]",
+            "value": round(fps, 1), "unit": "images/sec"})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-e2e", action="store_true")
@@ -487,6 +539,7 @@ def main() -> None:
             bench_e2e_train(entries, args.data_dir)
         if not args.skip_e2e_test:
             bench_e2e_test(entries, args.data_dir)
+            bench_csf_e2e_test(entries, args.data_dir)
 
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "bench_extras.json")
