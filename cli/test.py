@@ -172,6 +172,95 @@ def run_test(cfg, log=print) -> dict:
     return {"epoch": epoch, "datasets": results}
 
 
+def run_testall_resident(cfg, log=print) -> dict:
+    """HBM-resident TESTALL: test+eval sweep with zero per-epoch wire traffic.
+
+    The host protocol (run_testall -> run_eval) ships every image up, reads
+    every map back, and round-trips PNGs through the single host core — per
+    checkpoint. Here each TEST.DATASETS split is uploaded ONCE
+    (u8 inputs at TEST.IMAGE_H/W + native GTs on a canvas) and every
+    checkpoint_epoch{N} evaluates as ONE dispatched scan (forward ->
+    native resize-back -> PNG-exact quantization -> MAE / 256-threshold
+    P/R/F / E-measure / S-measure on device); only metric sums come back.
+    Writes the same FmeasureResults_{ds}.txt / FmeasureResult_{ds}_{e}.txt
+    artifacts as cli.eval and returns the same best-by-MaxF dict. No PNG
+    maps are produced — use the standard mode when the maps themselves are
+    wanted. Counterpart of the reference's test.py + eval.py epoch sweep."""
+    from sod100k_tpu.data.pipeline import SalData
+    from sod100k_tpu.data.resident import (
+        build_resident_val_dataset,
+        make_resident_salmetric_fn,
+    )
+    from sod100k_tpu.metrics.salmetric import format_report, result_from_sums
+    from sod100k_tpu.parallel.mesh import batch_sharding, replicate
+
+    from .common import data_mesh_for, enable_compile_cache
+
+    enable_compile_cache()
+    if not (cfg.TEST.IMAGE_H and cfg.TEST.IMAGE_W):
+        raise SystemExit("TPU.TEST_RESIDENT needs fixed TEST.IMAGE_H/W "
+                         "(the ceil-to-16 mode is per-image-shaped)")
+    lc = LayerConfig.load(cfg.TEST.MODEL_CONFIG)
+    dtype = jnp.bfloat16 if cfg.TPU.DTYPE == "bfloat16" else jnp.float32
+    batch = max(cfg.DATA.BATCH_SIZE, 1)
+    eval_step = make_eval_step(lc, pallas=cfg.TPU.PALLAS_DW, from_u8=True,
+                               compute_dtype=dtype)
+    mesh = data_mesh_for(cfg, batch, log)
+    bsh = batch_sharding(mesh) if len(mesh.devices.flat) > 1 else None
+
+    task = cfg.TASK or cfg.MODEL.ARCH
+    out_dir = os.path.join(cfg.DATA.SAVEDIR, task)
+    ckpt_dir = os.path.join(out_dir, "checkpoint")
+    os.makedirs(out_dir, exist_ok=True)
+
+    splits = {}
+    for ds in cfg.TEST.DATASETS:
+        sd = SalData(os.path.join(cfg.TEST.DATASET_PATH, ds),
+                     (cfg.TEST.IMAGE_H, cfg.TEST.IMAGE_W), mode="val",
+                     cache=cfg.TPU.DATA_CACHE)
+        data = build_resident_val_dataset(
+            sd, (cfg.TEST.IMAGE_H, cfg.TEST.IMAGE_W), batch)
+        canvas_hw = data.pop("_canvas_hw")
+        if bsh is not None:
+            data = replicate(data, mesh)
+        splits[ds] = (data, make_resident_salmetric_fn(
+            eval_step, batch_size=batch, canvas_hw=canvas_hw,
+            batch_sharding=bsh))
+        nbytes = sum(v.nbytes for v in data.values())
+        log(f"resident test split {ds}: {len(sd)} images "
+            f"({nbytes / 2**20:.0f} MiB in HBM)")
+
+    best = {ds: {"max_f": 0.0, "epoch": -1} for ds in splits}
+    epoch = cfg.TEST.BEGIN
+    while True:
+        path = os.path.join(ckpt_dir, f"checkpoint_epoch{epoch}.pth.tar")
+        if not os.path.isfile(path):
+            break
+        params, _ = load_checkpoint(path)
+        params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+        if bsh is not None:
+            params = replicate(params, mesh)
+        for ds, (data, fn) in splits.items():
+            res = result_from_sums(fn(params, data))
+            report = (f"epoch {epoch} {ds}: MaxF {res['max_f']:.6f} "
+                      f"MAE {res['mae']:.6f} MeanF {res['mean_f']:.6f} "
+                      f"MaxE {res['max_e']:.6f} S {res['s_measure']:.6f}")
+            log(report)
+            with open(os.path.join(out_dir, f"FmeasureResults_{ds}.txt"),
+                      "a") as flog:
+                flog.write(report + "\n")
+            with open(os.path.join(out_dir,
+                                   f"FmeasureResult_{ds}_{epoch}.txt"),
+                      "w") as f:
+                f.write(format_report(res))
+            if res["max_f"] > best[ds]["max_f"]:
+                best[ds] = {"max_f": res["max_f"], "epoch": epoch}
+        epoch += cfg.TEST.INTERVAL
+    for ds, b in best.items():
+        log(f"best for {ds}: MaxF {b['max_f']:.6f} @ epoch {b['epoch']}")
+    return best
+
+
 def run_testall(cfg, log=print) -> list:
     """TEST.TESTALL protocol: sweep checkpoint_epoch{N} from TEST.BEGIN every
     TEST.INTERVAL epochs (reference test/eval epoch-range traversal)."""
@@ -200,6 +289,9 @@ def main() -> None:
     if not cfg.TASK:
         cfg.TASK = cfg.MODEL.ARCH
     if cfg.TEST.TESTALL:
+        if cfg.TPU.TEST_RESIDENT:
+            run_testall_resident(cfg)  # metrics inline; no PNGs / no eval pass
+            return
         runs = run_testall(cfg)
         if runs and not args.skip_eval:
             from .eval import run_eval

@@ -141,6 +141,12 @@ _C.TPU.PREPROCESS = "hybrid"
 # accuracy tables measure the reference protocol; "hybrid"/"device" opt into
 # the faster uint8 front-ends for serving (sub-1/255 input perturbation).
 _C.TPU.TEST_PREPROCESS = "host"
+# TESTALL sweeps: keep the test splits resident in HBM and evaluate each
+# checkpoint as ONE dispatch (forward -> native resize-back -> PNG-exact
+# quantization -> MAE/P/R/F/E/S on device; only metric sums read back).
+# Produces cli.eval-compatible Fmeasure artifacts but no PNG maps — use the
+# default mode when the maps themselves are wanted. Needs fixed TEST.IMAGE_*.
+_C.TPU.TEST_RESIDENT = False
 # keep decoded uint8 images in RAM across epochs (~18 bytes per pixel-pair;
 # DUTS-TR ~4.3 GB). JPEG decode dominates single-core host time and the
 # reference re-decodes every epoch; disable on RAM-constrained hosts.

@@ -153,6 +153,21 @@ class SalMetricAccumulator:
         }
 
 
+def result_from_sums(sums) -> dict:
+    """Build the result dict from device-side metric sums (the resident
+    test+eval sweep, data/resident.py:make_resident_salmetric_fn): same
+    aggregation as SalMetricAccumulator.result plus "s_measure"."""
+    acc = SalMetricAccumulator()
+    acc.n = int(round(float(sums["n"])))
+    acc.mae = float(sums["mae_sum"])
+    acc.precision = np.asarray(sums["p_sum"], np.float64)
+    acc.recall = np.asarray(sums["r_sum"], np.float64)
+    acc.emeasure = np.asarray(sums["e_sum"], np.float64)
+    res = acc.result()
+    res["s_measure"] = float(sums["s_sum"]) / acc.n
+    return res
+
+
 def _g(v: float) -> str:
     """C++ `cout << float` default formatting: 6 significant digits."""
     return f"{v:g}"

@@ -176,6 +176,30 @@ def test_cli_orbax_save_and_resume(cfg, trained):
                                        "checkpoint_epoch2.pth.tar"))
 
 
+def test_cli_testall_resident_sweep(cfg, trained):
+    """TPU.TEST_RESIDENT: the HBM-resident TESTALL sweep evaluates each
+    checkpoint as one dispatch (no PNGs) and writes cli.eval-compatible
+    Fmeasure artifacts; runs sharded here (TPU.MESH_DEVICES=2)."""
+    from cli.test import run_testall_resident
+
+    c = cfg.clone()
+    c.TASK = "synth"
+    c.TPU.TEST_RESIDENT = True
+    c.TEST.BEGIN = 1
+    c.TEST.INTERVAL = 1
+    c.TEST.MODEL_CONFIG = os.path.join(c.DATA.SAVEDIR, "synth",
+                                       "layer_configs", "layer_config_0.bin")
+    best = run_testall_resident(c, log=lambda *a, **k: None)
+    assert "ECSSD" in best and best["ECSSD"]["epoch"] >= 1
+    assert 0.0 < best["ECSSD"]["max_f"] <= 1.0
+    out_dir = os.path.join(c.DATA.SAVEDIR, "synth")
+    assert os.path.exists(os.path.join(out_dir, "FmeasureResults_ECSSD.txt"))
+    rep = os.path.join(out_dir, "FmeasureResult_ECSSD_1.txt")
+    with open(rep) as f:
+        lines = f.read().splitlines()
+    assert len(lines) == 263 and lines[-1].startswith("MAE:")
+
+
 def test_cli_testall_sweep_and_best_epoch(cfg, trained):
     """TEST.TESTALL traverses checkpoint_epoch{BEGIN,+INTERVAL,...} and eval
     tracks the best epoch by Max-F across the range (reference test/eval

@@ -244,6 +244,71 @@ def test_data_cache_decodes_once_and_matches(tmp_path, monkeypatch):
                                atol=1e-6)
 
 
+def test_resident_salmetric_matches_host_protocol(tmp_path):
+    """One-dispatch resident test+eval (the TESTALL sweep) == the host
+    chain on the same u8-resized inputs: per-image forward -> cv2-dialect
+    native resize-back -> trunc(sigmoid*255) PNG quantization ->
+    SalMetricAccumulator + S-measure."""
+    cv2 = pytest.importorskip("cv2")
+    from sod100k_tpu.arch.csnet import csnet_init
+    from sod100k_tpu.arch.layer_config import init_layers
+    from sod100k_tpu.data.pipeline import SalData
+    from sod100k_tpu.data.resident import (
+        build_resident_val_dataset,
+        make_resident_salmetric_fn,
+    )
+    from sod100k_tpu.metrics.salmetric import (
+        SalMetricAccumulator,
+        result_from_sums,
+    )
+    from sod100k_tpu.metrics.smeasure import s_measure_batch
+    from sod100k_tpu.train.step import make_eval_step
+
+    rng = np.random.default_rng(11)
+    (tmp_path / "images").mkdir()
+    (tmp_path / "GT").mkdir()
+    sizes = [(70, 90), (55, 48), (80, 80), (48, 96), (64, 72)]
+    for i, (h, w) in enumerate(sizes):
+        cv2.imwrite(str(tmp_path / "images" / f"v{i}.jpg"),
+                    rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+        gt = (rng.random((h, w)) > 0.5).astype(np.uint8) * 255
+        cv2.imwrite(str(tmp_path / "GT" / f"v{i}.png"), gt)
+
+    lc = init_layers(8, [0.5, 0.5])
+    params = jax.tree.map(lambda a: jnp.asarray(a) / 6.0,
+                          csnet_init(jax.random.key(0), lc))
+    es = make_eval_step(lc, from_u8=True)
+    ds = SalData(str(tmp_path), (48, 48), mode="val")
+
+    acc = SalMetricAccumulator()
+    s_sum = 0.0
+    for i in range(len(ds)):
+        img, gt = ds._decode_u8(i)
+        h, w = gt.shape
+        r = cv2.resize(img, (48, 48), interpolation=cv2.INTER_LINEAR)
+        pred = np.asarray(es(params, jnp.asarray(r[None])))[0, ..., 0]
+        up = cv2.resize(pred, (w, h), interpolation=cv2.INTER_LINEAR)
+        sal255 = np.trunc(up * 255.0)
+        acc.update_batch(sal255[None], gt[None].astype(np.float32))
+        s_sum += float(s_measure_batch(
+            sal255[None] / 255.0, (gt[None] > 128).astype(np.float32),
+            np.ones((1, h, w), np.float32))[0])
+    host = acc.result()
+    host["s_measure"] = s_sum / len(ds)
+
+    data = build_resident_val_dataset(ds, (48, 48), batch_size=2)
+    canvas = data.pop("_canvas_hw")
+    fn = make_resident_salmetric_fn(es, batch_size=2, canvas_hw=canvas)
+    got = result_from_sums(fn(params, data))
+
+    assert got["mae"] == pytest.approx(host["mae"], abs=1e-4)
+    assert got["max_f"] == pytest.approx(host["max_f"], abs=1e-4)
+    assert got["s_measure"] == pytest.approx(host["s_measure"], abs=1e-4)
+    np.testing.assert_allclose(got["precision"], host["precision"], atol=2e-4)
+    np.testing.assert_allclose(got["recall"], host["recall"], atol=2e-4)
+    np.testing.assert_allclose(got["emeasure"], host["emeasure"], atol=2e-4)
+
+
 def test_eval_step_quantize_u8_matches_float_path():
     """quantize_u8 (cli.test hybrid/device modes, 4x smaller readback) is
     exactly trunc(sigmoid*255) of the float path's output."""
