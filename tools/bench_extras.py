@@ -368,6 +368,57 @@ def bench_resident_val(entries: list) -> None:
         "value": round(n / secs, 1), "unit": "images/sec"})
 
 
+def bench_resident_testall(entries: list) -> None:
+    """Per-checkpoint throughput of the HBM-resident TESTALL sweep
+    (TPU.TEST_RESIDENT): forward + native resize-back + PNG-exact
+    quantization + full metric suite (MAE/P/R/F/E/S) in ONE dispatch,
+    metric sums only over the wire. Compare against the host protocol's
+    e2e test img/s + eval time per checkpoint."""
+    from sod100k_tpu.arch.csnet import csnet_init
+    from sod100k_tpu.arch.layer_config import init_layers
+    from sod100k_tpu.data.resident import (
+        build_resident_val_dataset,
+        make_resident_salmetric_fn,
+    )
+    from sod100k_tpu.metrics.salmetric import result_from_sums
+    from sod100k_tpu.train.step import make_eval_step
+
+    class SynthVal:
+        def __init__(self, n: int):
+            self.n = n
+            self.rng = np.random.default_rng(13)
+
+        def __len__(self) -> int:
+            return self.n
+
+        def _decode_u8(self, i: int):
+            h, w = (300, 400) if i % 2 else (400, 300)
+            return (self.rng.integers(0, 255, (h, w, 3), np.uint8),
+                    self.rng.integers(0, 255, (h, w), np.uint8))
+
+    n, batch = 512, 128
+    lc = init_layers(40, [0.5, 0.5])
+    params = jax.tree.map(jnp.asarray, csnet_init(jax.random.key(0), lc))
+    data = build_resident_val_dataset(SynthVal(n), (224, 224), batch)
+    canvas = data.pop("_canvas_hw")
+    fn = make_resident_salmetric_fn(
+        make_eval_step(lc, from_u8=True, compute_dtype=jnp.bfloat16),
+        batch_size=batch, canvas_hw=canvas)
+    result_from_sums(fn(params, data))  # compile + warm (readback forces)
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        result_from_sums(fn(params, data))
+        best = min(best, time.perf_counter() - t0)
+    secs = max(best - RPC_LATENCY_S, 1e-9)
+    print(f"# resident testall ({n} imgs, canvas {canvas}, bf16 B={batch}): "
+          f"{secs * 1e3:.0f} ms/checkpoint = {n / secs:.0f} img/s",
+          file=sys.stderr)
+    entries.append({
+        "metric": f"csnet_l_x2_resident_testall_img_per_sec[bf16,B={batch},n={n}]",
+        "value": round(n / secs, 1), "unit": "images/sec"})
+
+
 def make_synth_duts(root: str, n: int = 512) -> str:
     """DUTS-TR-shaped synthetic set: 300x400/400x300 JPEGs + GT PNGs."""
     from sod100k_tpu.data.synth import make_synth_split
@@ -534,6 +585,7 @@ def main() -> None:
         bench_csf_resident_epoch(entries)
     if not args.skip_val:
         bench_resident_val(entries)
+        bench_resident_testall(entries)
     if not args.skip_e2e:
         if not args.skip_e2e_train:
             bench_e2e_train(entries, args.data_dir)
