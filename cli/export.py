@@ -36,6 +36,11 @@ def main() -> None:
                          "(e.g. 1,32,128); the loaded model routes any "
                          "request batch onto the buckets")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--wire", default="f32", choices=["f32", "u8"],
+                    help="u8 = raw uint8 RGB in (normalize fused) and "
+                         "trunc(sigmoid*255) uint8 out; 4x less traffic "
+                         "both ways when the serving link is the "
+                         "bottleneck")
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     batch = [int(b) for b in str(args.batch).split(",")]
@@ -53,7 +58,8 @@ def main() -> None:
         params, _ = load_checkpoint(cfg.TEST.CHECKPOINT)
         hw = (cfg.TEST.IMAGE_H or 224, cfg.TEST.IMAGE_W or 224)
         out = export_artifact(args.out, "csnet", params, lc,
-                              batch=batch, hw=hw, dtype=dtype)
+                              batch=batch, hw=hw, dtype=dtype,
+                              wire=args.wire)
     else:
         if not args.model:
             raise SystemExit("--model required for csf export")
@@ -66,7 +72,7 @@ def main() -> None:
         params = merge(params, loaded)
         out = export_artifact(args.out, "csf", params, args.arch,
                               batch=batch, hw=(args.size, args.size),
-                              dtype=dtype)
+                              dtype=dtype, wire=args.wire)
     print(f"exported serving artifact to {out}")
 
 

@@ -54,6 +54,32 @@ def test_export_multi_bucket_routing(tmp_path):
         np.testing.assert_allclose(model(x[:n]), want[:n], atol=1e-5)
 
 
+def test_export_u8_wire(tmp_path):
+    """wire="u8" artifacts take raw uint8 RGB (normalize fused, bit-identical
+    f32 math) and return trunc(sigmoid*255) uint8 — exactly the quantization
+    of the f32-wire artifact's output on the host-normalized input."""
+    from sod100k_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+
+    lc = init_layers(8, [0.5, 0.5])
+    params = jax.tree.map(lambda a: jnp.asarray(a) / 6.0,
+                          csnet_init(jax.random.key(4), lc))
+    out8 = export_artifact(str(tmp_path / "u8"), "csnet", params, lc,
+                           batch=2, hw=(64, 64), dtype=jnp.float32,
+                           wire="u8")
+    outf = export_artifact(str(tmp_path / "f32"), "csnet", params, lc,
+                           batch=2, hw=(64, 64), dtype=jnp.float32)
+    m8, mf = load_artifact(out8), load_artifact(outf)
+    assert m8.meta["wire"] == "u8"
+
+    raw = np.random.default_rng(5).integers(0, 255, (2, 64, 64, 3),
+                                            dtype=np.uint8)
+    got = m8(raw)
+    assert got.dtype == np.uint8
+    norm = ((raw.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD)
+    want = np.trunc(mf(norm) * 255.0).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_export_csf_family(tmp_path):
     from sod100k_tpu.arch.csf_res2net import csf_apply, csf_init
 
