@@ -72,14 +72,14 @@ def run_smoke(data_root: str, save_dir: str, *, train_epochs: int = 2,
     cfg.SOLVER.LR = 1e-3
     cfg.FINETUNE.THRES = 1e-6
 
-    log(f"[smoke 1/4] train {train_epochs} epochs on {cfg.DATA.DIR}")
+    log(f"[smoke 1/5] train {train_epochs} epochs on {cfg.DATA.DIR}")
     trained = run_training(cfg, max_epochs=train_epochs, log=log)
 
-    log(f"[smoke 2/4] prune + finetune from epoch {train_epochs}")
+    log(f"[smoke 2/5] prune + finetune from epoch {train_epochs}")
     ft = run_finetune(cfg, from_epoch=train_epochs,
                       max_epochs=finetune_epochs, log=log)
 
-    log("[smoke 3/4] test (saliency PNG dump)")
+    log("[smoke 3/5] test (saliency PNG dump)")
     c = cfg.clone()
     c.TEST.CHECKPOINT = os.path.join(
         cfg.DATA.SAVEDIR, "smoke", "checkpoint",
@@ -88,17 +88,30 @@ def run_smoke(data_root: str, save_dir: str, *, train_epochs: int = 2,
         cfg.DATA.SAVEDIR, "smoke", "layer_configs", "layer_config_0.bin")
     tested = run_test(c, log=log)
 
-    log("[smoke 4/4] eval (MAE / Max-F)")
+    log("[smoke 4/5] eval (MAE / Max-F)")
     best = run_eval(c, epoch_range=(tested["epoch"], tested["epoch"] + 1),
                     log=log)
+
+    log("[smoke 5/5] resident TESTALL sweep (HBM metrics, no PNGs)")
+    from .test import run_testall_resident
+
+    c2 = c.clone()
+    c2.TPU.TEST_RESIDENT = True
+    c2.TEST.BEGIN = 1
+    c2.TEST.INTERVAL = 1
+    resident_best = run_testall_resident(c2, log=log)
+
     ok = (trained["best_epoch"] >= 1 and np.isfinite(trained["best_mae"])
           and os.path.isdir(ft["ft_dir"])
           # eval must have actually scored the tested epoch (run_eval returns
           # epoch=-1 when no sal/gt pairs were found)
-          and all(v["epoch"] >= 0 and v["max_f"] > 0.0 for v in best.values()))
+          and all(v["epoch"] >= 0 and v["max_f"] > 0.0 for v in best.values())
+          and all(v["epoch"] >= 1 and v["max_f"] > 0.0
+                  for v in resident_best.values()))
     log(f"[smoke] {'OK' if ok else 'FAILED'}: best_mae={trained['best_mae']:.4f} "
-        f"eval={best}")
-    return {"ok": ok, "trained": trained, "finetuned": ft, "eval": best}
+        f"eval={best} resident_eval={resident_best}")
+    return {"ok": ok, "trained": trained, "finetuned": ft, "eval": best,
+            "resident_eval": resident_best}
 
 
 def main() -> None:
