@@ -3,6 +3,8 @@
 Run on the TPU to map where forward time goes (informs Pallas/fusion work):
   python tools/perf_probe.py ablate   # full vs no-dw vs nearest-upsample
   python tools/perf_probe.py dwlayout # depthwise 3x3: NHWC vs W-in-lanes
+  python tools/perf_probe.py scatter  # 256-bin scatter hist vs compare-scan
+  python tools/perf_probe.py trainb   # bf16 train-step batch sweep
 """
 
 import os
@@ -131,5 +133,88 @@ def dwlayout():
         timeit(tag, run, x)
 
 
+def scatter():
+    """Why metrics/salmetric.py avoids .at[].add: TPU scatters serialize.
+    Measured (r2): scatter 354 ms vs compare-scan 7 ms on (128,400,400)."""
+    Bb, H, W = 128, 400, 400
+    rng = np.random.default_rng(0)
+    sal = jnp.asarray(rng.integers(0, 256, (Bb, H, W)).astype(np.float32))
+    mask = jnp.ones((Bb, H, W), jnp.float32)
+
+    @jax.jit
+    def hist_scatter(s, m):
+        idx = s.astype(jnp.int32).reshape(Bb, -1)
+        h = jnp.zeros((Bb, 256), jnp.float32)
+        h = h.at[jnp.arange(Bb)[:, None], idx].add(m.reshape(Bb, -1))
+        return jnp.sum(h)
+
+    @jax.jit
+    def counts_scan(s, m):
+        fs, fm = s.reshape(Bb, -1), m.reshape(Bb, -1)
+
+        def chunk(_, th_c):
+            gt = fs[:, :, None] > th_c[None, None, :]
+            return None, jnp.sum(jnp.where(gt, fm[:, :, None], 0.0), axis=1)
+
+        _, a = lax.scan(chunk, None,
+                        jnp.arange(256, dtype=jnp.float32).reshape(-1, 16))
+        return jnp.sum(a)
+
+    for tag, fn in [("scatter hist", hist_scatter),
+                    ("compare-scan counts", counts_scan)]:
+        float(fn(sal, mask))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(sal, mask))
+            best = min(best, time.perf_counter() - t0)
+        print(f"{tag}: {max(best - RPC, 0.0) * 1e3:.1f} ms/batch128 "
+              "(0.0 = below tunnel-RPC noise)", flush=True)
+
+
+def trainb():
+    """bf16 train-step batch sweep. Measured (r2): B=128 525 img/s is the
+    sweet spot; B=192 338, B=256 459 — XLA tiling aligns at 128."""
+    from sod100k_tpu.arch.csnet import csnet_init
+    from sod100k_tpu.arch.layer_config import init_layers
+    from sod100k_tpu.train.optim import make_adam_dwd
+    from sod100k_tpu.train.params import partition
+    from sod100k_tpu.train.step import make_train_step
+
+    lc = init_layers(40, [0.5, 0.5])
+    trainable, state = partition(
+        jax.tree.map(jnp.asarray, csnet_init(jax.random.key(0), lc)))
+    tx = make_adam_dwd(trainable, weight_decay=5e-3)
+    rng = np.random.default_rng(0)
+    for Bb in (64, 128, 192, 256):
+        step = make_train_step(lc, tx, flops_weight=3.0, flops_expand=2.0,
+                               batch_size=Bb, compute_dtype=jnp.bfloat16)
+        batch = {"image": jnp.asarray(
+                     rng.standard_normal((Bb, 224, 224, 3)), jnp.float32),
+                 "target": jnp.asarray(
+                     (rng.random((Bb, 224, 224, 1)) > 0.5), jnp.float32)}
+        carry = jax.tree.map(lambda a: jnp.array(a, copy=True),
+                             (trainable, state, tx.init(trainable)))
+
+        def once(c):
+            t, s, o = c
+            t, s, o, _ = step(t, s, o, batch, jnp.float32(1e-4),
+                              jnp.float32(1.0))
+            return (t, s, o)
+
+        carry = once(carry)
+        float(np.asarray(jax.tree.leaves(carry)[0]).ravel()[0])
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(4):
+                carry = once(carry)
+            float(np.asarray(jax.tree.leaves(carry)[0]).ravel()[0])
+            best = min(best, (time.perf_counter() - t0 - RPC) / 4)
+        print(f"train step bf16 B={Bb}: {best * 1e3:.1f} ms = "
+              f"{Bb / best:.0f} img/s", flush=True)
+
+
 if __name__ == "__main__":
-    {"ablate": ablate, "dwlayout": dwlayout}[sys.argv[1]]()
+    {"ablate": ablate, "dwlayout": dwlayout,
+     "scatter": scatter, "trainb": trainb}[sys.argv[1]]()
