@@ -182,10 +182,13 @@ def run_testall_resident(cfg, log=print) -> dict:
     checkpoint_epoch{N} evaluates as ONE dispatched scan (forward ->
     native resize-back -> PNG-exact quantization -> MAE / 256-threshold
     P/R/F / E-measure / S-measure on device); only metric sums come back.
-    Writes the same FmeasureResults_{ds}.txt / FmeasureResult_{ds}_{e}.txt
-    artifacts as cli.eval and returns the same best-by-MaxF dict. No PNG
-    maps are produced — use the standard mode when the maps themselves are
-    wanted. Counterpart of the reference's test.py + eval.py epoch sweep."""
+    Writes cli.eval-format artifacts under distinct "_resident" names
+    (FmeasureResults_{ds}_resident.txt / FmeasureResult_{ds}_{e}_resident
+    .txt — this protocol's u8-resize inputs differ sub-1/255 from the
+    reference dialect, so the files never mix with cli.eval's) and returns
+    the same best-by-MaxF dict. No PNG maps are produced — use the
+    standard mode when the maps themselves are wanted. Counterpart of the
+    reference's test.py + eval.py epoch sweep."""
     from sod100k_tpu.data.pipeline import SalData
     from sod100k_tpu.data.resident import (
         build_resident_val_dataset,
@@ -242,16 +245,22 @@ def run_testall_resident(cfg, log=print) -> dict:
             params = replicate(params, mesh)
         for ds, (data, fn) in splits.items():
             res = result_from_sums(fn(params, data))
-            report = (f"epoch {epoch} {ds}: MaxF {res['max_f']:.6f} "
-                      f"MAE {res['mae']:.6f} MeanF {res['mean_f']:.6f} "
-                      f"MaxE {res['max_e']:.6f} S {res['s_measure']:.6f}")
+            # distinct "_resident" artifact names: these numbers come from
+            # the u8-resize + device-resize-back protocol (sub-1/255 input
+            # delta vs the reference dialect) and must never clobber or mix
+            # with cli.eval's reference-protocol FmeasureResults files
+            report = (f"epoch {epoch} {ds} [resident]: "
+                      f"MaxF {res['max_f']:.6f} MAE {res['mae']:.6f} "
+                      f"MeanF {res['mean_f']:.6f} MaxE {res['max_e']:.6f} "
+                      f"S {res['s_measure']:.6f}")
             log(report)
-            with open(os.path.join(out_dir, f"FmeasureResults_{ds}.txt"),
-                      "a") as flog:
+            with open(os.path.join(
+                    out_dir, f"FmeasureResults_{ds}_resident.txt"),
+                    "a") as flog:
                 flog.write(report + "\n")
-            with open(os.path.join(out_dir,
-                                   f"FmeasureResult_{ds}_{epoch}.txt"),
-                      "w") as f:
+            with open(os.path.join(
+                    out_dir, f"FmeasureResult_{ds}_{epoch}_resident.txt"),
+                    "w") as f:
                 f.write(format_report(res))
             if res["max_f"] > best[ds]["max_f"]:
                 best[ds] = {"max_f": res["max_f"], "epoch": epoch}

@@ -144,8 +144,10 @@ _C.TPU.TEST_PREPROCESS = "host"
 # TESTALL sweeps: keep the test splits resident in HBM and evaluate each
 # checkpoint as ONE dispatch (forward -> native resize-back -> PNG-exact
 # quantization -> MAE/P/R/F/E/S on device; only metric sums read back).
-# Produces cli.eval-compatible Fmeasure artifacts but no PNG maps — use the
-# default mode when the maps themselves are wanted. Needs fixed TEST.IMAGE_*.
+# Produces cli.eval-format Fmeasure artifacts under distinct "_resident"
+# names (this protocol's u8-resize inputs differ sub-1/255 from the
+# reference dialect) but no PNG maps — use the default mode when the maps
+# themselves are wanted. Needs fixed TEST.IMAGE_*.
 _C.TPU.TEST_RESIDENT = False
 # keep decoded uint8 images in RAM across epochs (~18 bytes per pixel-pair;
 # DUTS-TR ~4.3 GB). JPEG decode dominates single-core host time and the

@@ -30,6 +30,30 @@ IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
+def normalize_u8_device(image):
+    """THE u8 wire-in math, shared by every fused device front-end
+    (make_train_step/make_eval_step from_u8, the CSF eval step, the
+    resident CSF epoch, serving artifacts with wire="u8"): raw uint8 RGB ->
+    (x/255 - mean)/std in f32, the same op order as the host dialect
+    (reference dataset.py:69-81 / prepare_data.py:101-132) so results are
+    bit-identical. Keep every caller on this ONE implementation — the
+    cross-path bit-parity claims and tests pin this exact sequence."""
+    import jax.numpy as jnp
+
+    return (image.astype(jnp.float32) / 255.0
+            - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+
+def quantize_sigmoid_u8(sig):
+    """THE u8 wire-out math (the PNG quantization applied on device):
+    trunc(sig * 255) as uint8 — bit-identical to the host's
+    (255 * pred).astype(np.uint8) on f32 sigmoid values. Single shared
+    implementation for the same reason as normalize_u8_device."""
+    import jax.numpy as jnp
+
+    return jnp.trunc(sig * 255.0).astype(jnp.uint8)
+
+
 def _imread_rgb(path: str) -> np.ndarray:
     """Read image as float32 RGB in [0,1] (skimage img_as_float semantics;
     float32 instead of float64 — identical to ~1e-7 and half the host

@@ -125,7 +125,7 @@ def make_resident_csf_epoch_fn(step_fn, *, batch_size: int,
     Returns epoch_fn(trainable, state, opt_state, data, key, lr)
     -> (trainable, opt_state, losses (nb,)).
     """
-    from .pipeline import IMAGENET_MEAN, IMAGENET_STD
+    from .pipeline import normalize_u8_device
 
     @functools.partial(jax.jit, donate_argnums=(0, 2))
     def epoch_fn(trainable, state, opt_state, data, key, lr):
@@ -146,8 +146,7 @@ def make_resident_csf_epoch_fn(step_fn, *, batch_size: int,
                 gt = jax.lax.with_sharding_constraint(gt, batch_sharding)
             img = jnp.where(fl[:, None, None, None], img[:, :, ::-1], img)
             gt = jnp.where(fl[:, None, None], gt[:, :, ::-1], gt)
-            im = (img.astype(jnp.float32) / 255.0
-                  - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+            im = normalize_u8_device(img)
             batch = {"image": im,
                      "target": gt.astype(jnp.float32)[..., None] / 255.0}
             t, o, m = step_fn(t, state, o, batch, lr)
@@ -216,11 +215,13 @@ def make_resident_salmetric_fn(eval_step, *, batch_size: int,
     + S-measure — only six metric sums come back over the wire.
 
     eval_step: make_eval_step(lc, from_u8=True, ...). Returns
-    fn(params, data) -> dict of device scalars {"n", "mae_sum",
-    "p_sum"[256], "r_sum"[256], "e_sum"[256], "s_sum"}; feed them to
-    metrics.salmetric.result_from_sums. Counterpart of the reference's
-    test.py:58-108 + eval.py + sal_metric.cpp pipeline."""
-    from sod100k_tpu.metrics.salmetric import THRESHOLDS, _per_image_stats
+    fn(params, data) -> dict of PER-BATCH device sums, each with a leading
+    (nb,) axis: {"n", "mae_sum", "p_sum"[256], "r_sum"[256], "e_sum"[256],
+    "s_sum"} — the cross-batch reduction happens on host in float64
+    (metrics.salmetric.result_from_sums) so a long f32 carry chain cannot
+    drift best-epoch rankings on large splits. Counterpart of the
+    reference's test.py:58-108 + eval.py + sal_metric.cpp pipeline."""
+    from sod100k_tpu.metrics.salmetric import _per_image_stats
     from sod100k_tpu.metrics.smeasure import s_measure_batch
 
     @jax.jit
@@ -234,7 +235,7 @@ def make_resident_salmetric_fn(eval_step, *, batch_size: int,
               hws.reshape(nb, batch_size, 2),
               wts.reshape(nb, batch_size))
 
-        def body(carry, xs_b):
+        def body(_, xs_b):
             img, gt, hw, wt = xs_b
             if batch_sharding is not None:
                 img = jax.lax.with_sharding_constraint(img, batch_sharding)
@@ -251,23 +252,17 @@ def make_resident_salmetric_fn(eval_step, *, batch_size: int,
             mae, pre, rec, em = _per_image_stats(sal255, gt_f, mask)
             sm = s_measure_batch(sal255 / 255.0,
                                  (gt_f > 128).astype(jnp.float32), mask)
-            c = carry
-            return {
-                "n": c["n"] + jnp.sum(wt),
-                "mae_sum": c["mae_sum"] + jnp.sum(mae * wt),
-                "p_sum": c["p_sum"] + jnp.sum(pre * wt[:, None], axis=0),
-                "r_sum": c["r_sum"] + jnp.sum(rec * wt[:, None], axis=0),
-                "e_sum": c["e_sum"] + jnp.sum(em * wt[:, None], axis=0),
-                "s_sum": c["s_sum"] + jnp.sum(sm * wt),
-            }, None
+            return None, {
+                "n": jnp.sum(wt),
+                "mae_sum": jnp.sum(mae * wt),
+                "p_sum": jnp.sum(pre * wt[:, None], axis=0),
+                "r_sum": jnp.sum(rec * wt[:, None], axis=0),
+                "e_sum": jnp.sum(em * wt[:, None], axis=0),
+                "s_sum": jnp.sum(sm * wt),
+            }
 
-        init = {"n": jnp.float32(0.0), "mae_sum": jnp.float32(0.0),
-                "p_sum": jnp.zeros(THRESHOLDS, jnp.float32),
-                "r_sum": jnp.zeros(THRESHOLDS, jnp.float32),
-                "e_sum": jnp.zeros(THRESHOLDS, jnp.float32),
-                "s_sum": jnp.float32(0.0)}
-        sums, _ = jax.lax.scan(body, init, xs)
-        return sums
+        _, per_batch = jax.lax.scan(body, None, xs)
+        return per_batch  # leading (nb,) axis per leaf; host reduces in f64
 
     return fn
 

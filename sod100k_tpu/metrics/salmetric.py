@@ -51,8 +51,10 @@ def _per_image_stats(sal: jax.Array, gt: jax.Array, mask: jax.Array):
     # TPU scatters serialize (measured 354 ms for a (128,400,400) batch vs
     # ~2 ms for this form — the compare/select/sum chain fuses onto the VPU
     # and each lax.scan chunk re-reads sal once). Counts are sums of f32
-    # ones (< 2^24 per image), so the arithmetic is exact.
-    flat_sal = jnp.clip(sal, 0, 255).reshape(sal.shape[0], -1)
+    # ones (< 2^24 per image), so the arithmetic is exact. floor() keeps
+    # the 8-bit-PNG binning for non-integral inputs (the old histogram's
+    # astype(int32): 100.7 bins as 100, NOT counted in #(sal > 100)).
+    flat_sal = jnp.floor(jnp.clip(sal, 0, 255)).reshape(sal.shape[0], -1)
     flat_mask = mask.reshape(mask.shape[0], -1)
     flat_pos = pos.reshape(pos.shape[0], -1)
 
@@ -160,17 +162,24 @@ class SalMetricAccumulator:
 
 
 def result_from_sums(sums) -> dict:
-    """Build the result dict from device-side metric sums (the resident
-    test+eval sweep, data/resident.py:make_resident_salmetric_fn): same
-    aggregation as SalMetricAccumulator.result plus "s_measure"."""
+    """Build the result dict from device-side PER-BATCH metric sums (the
+    resident test+eval sweep, data/resident.py:make_resident_salmetric_fn;
+    each leaf carries a leading (nb,) batch axis): the cross-batch
+    reduction happens here in float64 so long f32 carry chains on device
+    cannot drift rankings on large splits. Same aggregation as
+    SalMetricAccumulator.result plus "s_measure"."""
+
+    def total(v):
+        return np.asarray(v, np.float64).sum(axis=0)
+
     acc = SalMetricAccumulator()
-    acc.n = int(round(float(sums["n"])))
-    acc.mae = float(sums["mae_sum"])
-    acc.precision = np.asarray(sums["p_sum"], np.float64)
-    acc.recall = np.asarray(sums["r_sum"], np.float64)
-    acc.emeasure = np.asarray(sums["e_sum"], np.float64)
+    acc.n = int(round(float(total(sums["n"]))))
+    acc.mae = float(total(sums["mae_sum"]))
+    acc.precision = total(sums["p_sum"])
+    acc.recall = total(sums["r_sum"])
+    acc.emeasure = total(sums["e_sum"])
     res = acc.result()
-    res["s_measure"] = float(sums["s_sum"]) / acc.n
+    res["s_measure"] = float(total(sums["s_sum"])) / acc.n
     return res
 
 

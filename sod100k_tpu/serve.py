@@ -40,19 +40,16 @@ def _forward_fn(family: str, params, lc, dtype, wire: str = "f32"):
     else:
         raise ValueError(f"unknown family {family!r}")
 
-    from .data.pipeline import IMAGENET_MEAN, IMAGENET_STD
-
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    from .data.pipeline import normalize_u8_device, quantize_sigmoid_u8
 
     def fwd(image):
         if wire == "u8":
             # raw uint8 RGB in; same f32 normalize as the host dialect
-            image = (image.astype(jnp.float32) / 255.0 - mean) / std
+            image = normalize_u8_device(image)
         sig = jax.nn.sigmoid(apply(image.astype(dtype)).astype(jnp.float32))
         if wire == "u8":
             # the PNG quantization on device; 4x smaller response
-            return jnp.trunc(sig * 255.0).astype(jnp.uint8)
+            return quantize_sigmoid_u8(sig)
         return sig
 
     return fwd
@@ -140,9 +137,20 @@ class ServingModel:
         return (m["batch"], m["h"], m["w"], 3)
 
     def __call__(self, images) -> np.ndarray:
-        in_dtype = (np.uint8 if self.meta.get("wire", "f32") == "u8"
-                    else np.float32)
-        x = np.asarray(images, in_dtype)
+        if self.meta.get("wire", "f32") == "u8":
+            # refuse silent float->uint8 coercion: a client on the old f32
+            # contract passing normalized floats (values ~[-2.6, 2.6]) would
+            # wrap/truncate into garbage pixels and get plausible-looking
+            # maps back with no error
+            arr = np.asarray(images)
+            if not np.issubdtype(arr.dtype, np.integer):
+                raise TypeError(
+                    f"wire='u8' artifact expects raw uint8 RGB images, got "
+                    f"dtype {arr.dtype}; pass undecoded pixel values (the "
+                    f"normalize is fused into the program)")
+            x = arr.astype(np.uint8)
+        else:
+            x = np.asarray(images, np.float32)
         assert x.ndim == 4 and x.shape[1:] == self.input_shape[1:], \
             (x.shape, self.input_shape)
         outs, i, n = [], 0, x.shape[0]

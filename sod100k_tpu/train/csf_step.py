@@ -117,21 +117,21 @@ def make_csf_eval_step(backbone: str = "res2net50", compute_dtype=None,
     (the reference's host-side dataset.py:69-81) into the dispatch: 4x less
     upload too. The fused math is the same f32 `(x/255 - mean)/std` sequence,
     so results are bit-identical to the host-normalized path."""
-    from sod100k_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
-
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    from sod100k_tpu.data.pipeline import (
+        normalize_u8_device,
+        quantize_sigmoid_u8,
+    )
 
     @jax.jit
     def step(params, image):
         if from_u8:
-            image = (image.astype(jnp.float32) / 255.0 - mean) / std
+            image = normalize_u8_device(image)
         if compute_dtype is not None:
             image = image.astype(compute_dtype)
         logits = csf_apply(params, image, backbone).astype(jnp.float32)
         sig = jax.nn.sigmoid(logits)
         if quantize_u8:
-            return jnp.trunc(sig * 255.0).astype(jnp.uint8)
+            return quantize_sigmoid_u8(sig)
         return sig
 
     return step

@@ -67,10 +67,9 @@ def make_train_step(
         params = merge(trainable, state)
         image = batch["image"]
         if from_u8:
-            from ..data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+            from ..data.pipeline import normalize_u8_device
 
-            image = (image.astype(jnp.float32) / 255.0
-                     - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+            image = normalize_u8_device(image)
             batch = dict(batch,
                          target=batch["target"].astype(jnp.float32) / 255.0)
         if compute_dtype is not None:
@@ -117,19 +116,18 @@ def make_eval_step(lc: LayerConfig, *, pallas: bool = False,
     differ by +-1/255 on interpolated pixels, so the parity-default host
     mode keeps the f32 readback."""
 
+    from ..data.pipeline import normalize_u8_device, quantize_sigmoid_u8
+
     @jax.jit
     def step(params, image):
         if from_u8:
-            from ..data.pipeline import IMAGENET_MEAN, IMAGENET_STD
-
-            image = (image.astype(jnp.float32) / 255.0
-                     - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+            image = normalize_u8_device(image)
         if compute_dtype is not None:
             image = image.astype(compute_dtype)
         logits = csnet_apply(params, image, lc, ApplyCtx(pallas=pallas))
         sig = jax.nn.sigmoid(logits.astype(jnp.float32))
         if quantize_u8:
-            return jnp.trunc(sig * 255.0).astype(jnp.uint8)
+            return quantize_sigmoid_u8(sig)
         return sig
 
     return step

@@ -193,8 +193,11 @@ def test_cli_testall_resident_sweep(cfg, trained):
     assert "ECSSD" in best and best["ECSSD"]["epoch"] >= 1
     assert 0.0 < best["ECSSD"]["max_f"] <= 1.0
     out_dir = os.path.join(c.DATA.SAVEDIR, "synth")
-    assert os.path.exists(os.path.join(out_dir, "FmeasureResults_ECSSD.txt"))
-    rep = os.path.join(out_dir, "FmeasureResult_ECSSD_1.txt")
+    # resident-protocol artifacts live under distinct names so they never
+    # clobber/mix with cli.eval's reference-protocol files
+    assert os.path.exists(os.path.join(out_dir,
+                                       "FmeasureResults_ECSSD_resident.txt"))
+    rep = os.path.join(out_dir, "FmeasureResult_ECSSD_1_resident.txt")
     with open(rep) as f:
         lines = f.read().splitlines()
     assert len(lines) == 263 and lines[-1].startswith("MAE:")

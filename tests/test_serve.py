@@ -79,6 +79,11 @@ def test_export_u8_wire(tmp_path):
     want = np.trunc(mf(norm) * 255.0).astype(np.uint8)
     np.testing.assert_array_equal(got, want)
 
+    # the u8-wire artifact refuses float inputs instead of silently
+    # wrapping them into garbage pixels (old-contract clients fail loudly)
+    with pytest.raises(TypeError):
+        m8(norm)
+
 
 def test_export_csf_family(tmp_path):
     from sod100k_tpu.arch.csf_res2net import csf_apply, csf_init
