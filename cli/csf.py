@@ -272,6 +272,27 @@ def run_csf_test(config, log=print) -> dict:
     # amortizing dispatch latency + better MXU occupancy on uniform-size
     # lists like the m_r speed protocol (main.py:25-27, solver.py:62-78).
     tb = max(getattr(config, "test_batch", 1) or 1, 1)
+
+    # serving-level data parallelism (the cli.test counterpart): batched
+    # test dispatches shard over a 1-D data mesh when --mesh_devices and
+    # --test_batch allow; params replicated, XLA splits the batch
+    bsh = None
+    n_dev = min(getattr(config, "mesh_devices", 0) or 1, len(jax.devices()))
+    if tb > 1 and n_dev > 1:
+        from sod100k_tpu.parallel.mesh import (
+            batch_sharding,
+            make_mesh,
+            replicate,
+        )
+
+        while tb % n_dev:
+            n_dev -= 1
+        if n_dev > 1:
+            mesh = make_mesh(n_dev)
+            params = replicate(params, mesh)
+            bsh = batch_sharding(mesh)
+            log(f"test batches sharded over {n_dev} devices")
+
     t0 = time.time()
 
     # one-deep pipeline: the async eval_step dispatch lets batch k's forward
@@ -294,7 +315,10 @@ def run_csf_test(config, log=print) -> dict:
         stack = buf_imgs + [buf_imgs[-1]] * (tb - k) if tb > 1 else buf_imgs
         # jit caches one executable per distinct (shape, tb) like the
         # reference pays per-shape cuDNN autotuning (solver.py:62-78)
-        preds = eval_step(params, jnp.asarray(np.stack(stack)))
+        x = jnp.asarray(np.stack(stack))
+        if bsh is not None:
+            x = jax.device_put(x, bsh)
+        preds = eval_step(params, x)
         if pending is not None:
             flush(pending)
         pending = (list(buf_names), preds, k)
@@ -347,8 +371,10 @@ def main() -> None:
                         help="0 = native-size bucketed batches; else fixed "
                              "square size (336 for the res2net101 recipe)")
     parser.add_argument("--mesh_devices", type=int, default=0,
-                        help="data-parallel devices for training (0 = all "
-                             "visible; clamped to a divisor of batch_size)")
+                        help="data-parallel devices (0 = all visible; "
+                             "clamped to a divisor of batch_size / "
+                             "--test_batch); shards training batches and, "
+                             "with --test_batch > 1, test dispatches")
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="compute dtype for forward/backward; params, "
