@@ -277,7 +277,8 @@ def run_csf_test(config, log=print) -> dict:
     # test dispatches shard over a 1-D data mesh when --mesh_devices and
     # --test_batch allow; params replicated, XLA splits the batch
     bsh = None
-    n_dev = min(getattr(config, "mesh_devices", 0) or 1, len(jax.devices()))
+    n_dev = min(getattr(config, "mesh_devices", 0) or len(jax.devices()),
+                len(jax.devices()))  # 0 = all visible, as in train mode
     if tb > 1 and n_dev > 1:
         from sod100k_tpu.parallel.mesh import (
             batch_sharding,
