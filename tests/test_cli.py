@@ -176,7 +176,29 @@ def test_cli_orbax_save_and_resume(cfg, trained):
                                        "checkpoint_epoch2.pth.tar"))
 
 
-def test_cli_testall_resident_sweep(cfg, trained):
+def test_cli_test_native_ceil16_mode(cfg, trained):
+    """TEST.IMAGE_H/W = 0: the reference's native-size protocol
+    (test.py:75-85) — each image resized up to the next 16-multiple,
+    per-shape compiled, map resized back to the exact native size."""
+    from cli.test import run_test
+
+    c = cfg.clone()
+    c.TEST.IMAGE_H = c.TEST.IMAGE_W = 0
+    c.TEST.CHECKPOINT = os.path.join(c.DATA.SAVEDIR, "synth", "checkpoint",
+                                     "checkpoint_epoch2.pth.tar")
+    c.TEST.MODEL_CONFIG = os.path.join(c.DATA.SAVEDIR, "synth",
+                                       "layer_configs", "layer_config_0.bin")
+    res = run_test(c, log=lambda *a, **k: None)
+    sal_dir = res["datasets"]["ECSSD"]["sal_dir"]
+    img_dir = os.path.join(c.TEST.DATASET_PATH, "ECSSD", "images")
+    names = sorted(os.listdir(img_dir))
+    assert len(os.listdir(sal_dir)) == len(names) == 8
+    for name in names:
+        native = cv2.imread(os.path.join(img_dir, name))
+        sal = cv2.imread(os.path.join(
+            sal_dir, os.path.splitext(name)[0] + ".png"), cv2.IMREAD_GRAYSCALE)
+        assert sal.shape == native.shape[:2]  # exact native size restored
+        assert sal.dtype == np.uint8
     """TPU.TEST_RESIDENT: the HBM-resident TESTALL sweep evaluates each
     checkpoint as one dispatch (no PNGs) and writes cli.eval-compatible
     Fmeasure artifacts; runs sharded here (TPU.MESH_DEVICES=2)."""
