@@ -112,24 +112,33 @@ def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
             make_resident_val_fn,
         )
         from sod100k_tpu.parallel.mesh import batch_sharding as _bs
-        from sod100k_tpu.parallel.mesh import replicate as _repl
+        from sod100k_tpu.parallel.mesh import replicated
 
-        resident_data = _repl(build_resident_dataset(
-            train_ds, store_hw=(cfg.TPU.RESIDENT_STORE_HW,) * 2), mesh)
+        if len(train_ds) < cfg.DATA.BATCH_SIZE:
+            raise SystemExit(
+                f"TPU.PREPROCESS=resident needs at least one full batch: "
+                f"dataset has {len(train_ds)} images < DATA.BATCH_SIZE="
+                f"{cfg.DATA.BATCH_SIZE}")
+        resident_data = build_resident_dataset(
+            train_ds, store_hw=(cfg.TPU.RESIDENT_STORE_HW,) * 2,
+            sharding=replicated(mesh))
+        # the reference's <=15-px crop at 224, scaled to the store size
+        max_crop = max(1, round(15 * cfg.TPU.RESIDENT_STORE_HW / 224))
         epoch_fn = make_resident_epoch_fn(
             step, batch_size=cfg.DATA.BATCH_SIZE,
-            out_hw=(cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W),
+            out_hw=(cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W), max_crop=max_crop,
             batch_sharding=_bs(mesh) if len(mesh.devices.flat) > 1 else None)
         if val_ds is not None:
             vdata = build_resident_val_dataset(
                 val_ds, (cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W),
-                cfg.DATA.BATCH_SIZE)
+                cfg.DATA.BATCH_SIZE, sharding=replicated(mesh))
             canvas_hw = vdata.pop("_canvas_hw")
-            resident_val_data = _repl(vdata, mesh)
+            resident_val_data = vdata
+            # validation always scores in f32 (the host-path protocol),
+            # independent of TPU.DTYPE, so best-epoch picks don't shift
+            # between preprocess modes
             resident_val_fn = make_resident_val_fn(
-                make_eval_step(lc, from_u8=True,
-                               compute_dtype=jnp.bfloat16
-                               if cfg.TPU.DTYPE == "bfloat16" else None),
+                make_eval_step(lc, from_u8=True),
                 batch_size=cfg.DATA.BATCH_SIZE, canvas_hw=canvas_hw,
                 batch_sharding=_bs(mesh) if len(mesh.devices.flat) > 1
                 else None)
@@ -177,22 +186,19 @@ def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
                     log(f"FtEpoch: [{epoch + 1}][{nb}]\t"
                         f"Loss {float(m['loss']):.4f}")
         mae = float("nan")
+        params_dev = merge(trainable, state)  # stays on device for val
         if resident_val_fn is not None:
-            mae = float(resident_val_fn(merge(trainable, state),
-                                        resident_val_data))
+            mae = float(resident_val_fn(params_dev, resident_val_data))
         elif val_ds is not None:
-            pd = jax.tree.map(jnp.asarray, merge(
-                jax.tree.map(np.asarray, trainable),
-                jax.tree.map(np.asarray, state)))
-            mae = val_mae(eval_step, pd, val_ds, cfg.DATA.BATCH_SIZE, log)
+            mae = val_mae(eval_step, params_dev, val_ds,
+                          cfg.DATA.BATCH_SIZE, log)
         if mae < best_mae:
             best_mae, best_epoch = mae, epoch + 1
         log(f" epoch: {epoch + 1} mae: {mae} best_epoch: {best_epoch} "
             f"best_mae: {best_mae}")
         save_torch_checkpoint(
             os.path.join(ft_dir, f"checkpoint_epoch{epoch + 1}.pth.tar"),
-            merge(jax.tree.map(np.asarray, trainable),
-                  jax.tree.map(np.asarray, state)),
+            jax.tree.map(np.asarray, params_dev),  # one host readback
             epoch=epoch + 1, arch=cfg.MODEL.ARCH,
             opt_state=opt_state,
         )

@@ -162,16 +162,25 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
             make_resident_epoch_fn,
             make_resident_val_fn,
         )
-        from sod100k_tpu.parallel.mesh import replicate as _repl
-
         from sod100k_tpu.parallel.mesh import batch_sharding as _bs
+        from sod100k_tpu.parallel.mesh import replicated
 
+        if len(train_ds) < cfg.DATA.BATCH_SIZE:
+            raise SystemExit(
+                f"TPU.PREPROCESS=resident needs at least one full batch: "
+                f"dataset has {len(train_ds)} images < DATA.BATCH_SIZE="
+                f"{cfg.DATA.BATCH_SIZE}")
+        # upload directly to the replicated placement (no transient
+        # device-0 copy of the multi-GB store on a multi-device mesh)
         resident_data = build_resident_dataset(
-            train_ds, store_hw=(cfg.TPU.RESIDENT_STORE_HW,) * 2)
-        resident_data = _repl(resident_data, mesh)
+            train_ds, store_hw=(cfg.TPU.RESIDENT_STORE_HW,) * 2,
+            sharding=replicated(mesh))
+        # the reference crops <=15 px at its 224 train size
+        # (prepare_data.py:26-88); express that fraction at the store scale
+        max_crop = max(1, round(15 * cfg.TPU.RESIDENT_STORE_HW / 224))
         epoch_fn = make_resident_epoch_fn(
             step, batch_size=cfg.DATA.BATCH_SIZE,
-            out_hw=(cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W),
+            out_hw=(cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W), max_crop=max_crop,
             batch_sharding=_bs(mesh) if len(mesh.devices.flat) > 1 else None)
         n_imgs = int(resident_data["image_u8"].shape[0])
         log(f"resident dataset: {n_imgs} images @"
@@ -181,16 +190,16 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
         if val_ds is not None:
             # the val split lives in HBM too (model-size inputs + native
             # GTs); each per-epoch validation is then one dispatch instead
-            # of a wire-bound host loop
+            # of a wire-bound host loop. Validation always scores in f32 —
+            # the same protocol as the host val path — regardless of
+            # TPU.DTYPE, so best-epoch selection is mode-independent.
             vdata = build_resident_val_dataset(
                 val_ds, (cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W),
-                cfg.DATA.BATCH_SIZE)
+                cfg.DATA.BATCH_SIZE, sharding=replicated(mesh))
             canvas_hw = vdata.pop("_canvas_hw")
-            resident_val_data = _repl(vdata, mesh)
+            resident_val_data = vdata
             resident_val_fn = make_resident_val_fn(
-                make_eval_step(lc, from_u8=True,
-                               compute_dtype=jnp.bfloat16
-                               if cfg.TPU.DTYPE == "bfloat16" else None),
+                make_eval_step(lc, from_u8=True),
                 batch_size=cfg.DATA.BATCH_SIZE, canvas_hw=canvas_hw,
                 batch_sharding=_bs(mesh) if len(mesh.devices.flat) > 1
                 else None)
@@ -299,15 +308,15 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
                 f"{stats['peak_bytes_in_use'] / 2**20:.1f} MiB")
 
         mae = float("nan")
+        # current params stay on device for validation (the old
+        # device->host->device round-trip of every leaf cost two full
+        # param transfers per epoch over the ~35 ms-RPC tunnel)
+        params_dev = merge(trainable, state)
         if resident_val_fn is not None:
             # one-dispatch validation over the HBM-resident val set; float()
             # forces the readback (see the tunnel note above)
-            mae = float(resident_val_fn(merge(trainable, state),
-                                        resident_val_data))
+            mae = float(resident_val_fn(params_dev, resident_val_data))
         elif val_ds is not None:
-            params_now = merge(jax.tree.map(np.asarray, trainable),
-                               jax.tree.map(np.asarray, state))
-            params_dev = jax.tree.map(jnp.asarray, params_now)
             mae = val_mae(eval_step, params_dev, val_ds, cfg.DATA.BATCH_SIZE, log)
         if mae < best_mae:
             best_mae, best_epoch = mae, epoch + 1
@@ -318,8 +327,7 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
 
         save_torch_checkpoint(
             os.path.join(dirs["checkpoint"], f"checkpoint_epoch{epoch + 1}.pth.tar"),
-            merge(jax.tree.map(np.asarray, trainable),
-                  jax.tree.map(np.asarray, state)),
+            jax.tree.map(np.asarray, params_dev),  # one host readback
             epoch=epoch + 1, arch=cfg.MODEL.ARCH,
             opt_state=opt_state,
         )

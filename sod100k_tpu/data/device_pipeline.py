@@ -30,9 +30,12 @@ import jax.numpy as jnp
 from .pipeline import IMAGENET_MEAN, IMAGENET_STD
 
 
-def _axis_coords(out_len: int, start, size, limit):
+def _axis_coords(out_len: int, start, size):
     """Absolute source coordinates for crop[start:start+size] -> out_len,
-    half-pixel bilinear, clamped to the crop box."""
+    half-pixel bilinear, clamped to the crop box. Callers must keep the
+    crop box inside the image's valid region — there is no image-bounds
+    clamp here (and _gather_bilinear_1d clips only to the array extent,
+    which may include bucket padding)."""
     o = jnp.arange(out_len, dtype=jnp.float32)
     src = start + (o + 0.5) * (size / out_len) - 0.5
     return jnp.clip(src, start.astype(jnp.float32),
@@ -58,8 +61,8 @@ def crop_resize_bilinear(img: jax.Array, box, out_hw: tuple[int, int]) -> jax.Ar
     to out_hw. Shapes static; coordinates dynamic."""
     h_out, w_out = out_hw
     r1, ch, c1, cw = box
-    ys = _axis_coords(h_out, r1, ch, img.shape[0])
-    xs = _axis_coords(w_out, c1, cw, img.shape[1])
+    ys = _axis_coords(h_out, r1, ch)
+    xs = _axis_coords(w_out, c1, cw)
     out = _gather_bilinear_1d(img.astype(jnp.float32), ys, 0)
     out = _gather_bilinear_1d(out, xs, 1)
     return out

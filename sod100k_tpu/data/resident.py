@@ -198,6 +198,25 @@ def build_resident_val_dataset(dataset, in_hw: tuple[int, int],
             "_canvas_hw": (canvas_h, canvas_w)}
 
 
+def _batch_native_maps(eval_step, params, img, hw, canvas_hw):
+    """The shared per-batch scoring stage of BOTH resident evaluation paths
+    (make_resident_val_fn and make_resident_salmetric_fn): forward ->
+    per-image dynamic-size bilinear resize-back onto the static canvas ->
+    the exact PNG quantization (trunc(sigmoid*255)), plus the per-image
+    validity masks. Keep both paths on this ONE implementation — their
+    protocol equality is part of the parity story."""
+    ch, cw = canvas_hw
+    pred = eval_step(params, img)[..., 0]
+    up = jax.vmap(
+        lambda p, s: resize_to_native_canvas(p, s, (ch, cw))
+    )(pred, hw)
+    sal255 = jnp.trunc(up * 255.0)  # the PNG value, as float
+    mask = ((jnp.arange(ch)[None, :, None] < hw[:, :1, None])
+            & (jnp.arange(cw)[None, None, :] < hw[:, 1:, None])
+            ).astype(jnp.float32)
+    return sal255, mask
+
+
 def make_resident_salmetric_fn(eval_step, *, batch_size: int,
                                canvas_hw: tuple[int, int],
                                batch_sharding=None):
@@ -240,14 +259,8 @@ def make_resident_salmetric_fn(eval_step, *, batch_size: int,
             if batch_sharding is not None:
                 img = jax.lax.with_sharding_constraint(img, batch_sharding)
                 gt = jax.lax.with_sharding_constraint(gt, batch_sharding)
-            pred = eval_step(params, img)[..., 0]
-            up = jax.vmap(
-                lambda p, s: resize_to_native_canvas(p, s, (ch, cw))
-            )(pred, hw)
-            sal255 = jnp.trunc(up * 255.0)  # the PNG value, as float
-            mask = ((jnp.arange(ch)[None, :, None] < hw[:, :1, None])
-                    & (jnp.arange(cw)[None, None, :] < hw[:, 1:, None])
-                    ).astype(jnp.float32)
+            sal255, mask = _batch_native_maps(eval_step, params, img, hw,
+                                              (ch, cw))
             gt_f = gt.astype(jnp.float32)
             mae, pre, rec, em = _per_image_stats(sal255, gt_f, mask)
             sm = s_measure_batch(sal255 / 255.0,
@@ -289,21 +302,17 @@ def make_resident_val_fn(eval_step, *, batch_size: int,
               hws.reshape(nb, batch_size, 2),
               wts.reshape(nb, batch_size))
 
-        def one(pred, gt, hw):
-            up = resize_to_native_canvas(pred, hw, (ch, cw))
-            q = jnp.trunc(up * 255.0) / 255.0
-            mask = ((jnp.arange(ch)[:, None] < hw[0])
-                    & (jnp.arange(cw)[None, :] < hw[1])).astype(jnp.float32)
-            diff = jnp.abs(q - gt.astype(jnp.float32) / 255.0) * mask
-            return jnp.sum(diff) / (hw[0] * hw[1]).astype(jnp.float32)
-
         def body(carry, xs_b):
             img, gt, hw, wt = xs_b
             if batch_sharding is not None:
                 img = jax.lax.with_sharding_constraint(img, batch_sharding)
                 gt = jax.lax.with_sharding_constraint(gt, batch_sharding)
-            pred = eval_step(params, img)[..., 0]
-            maes = jax.vmap(one)(pred, gt, hw)
+            sal255, mask = _batch_native_maps(eval_step, params, img, hw,
+                                              (ch, cw))
+            diff = jnp.abs(sal255 / 255.0
+                           - gt.astype(jnp.float32) / 255.0) * mask
+            maes = (jnp.sum(diff, axis=(1, 2))
+                    / (hw[:, 0] * hw[:, 1]).astype(jnp.float32))
             s, c = carry
             return (s + jnp.sum(maes * wt), c + jnp.sum(wt)), None
 
