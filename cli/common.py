@@ -33,6 +33,9 @@ def data_mesh_for(cfg, batch_size: int, log=print):
     shards the batch axis evenly)."""
     from sod100k_tpu.parallel.mesh import make_mesh
 
+    if cfg.TPU.MESH_DEVICES < 0:
+        raise SystemExit(f"TPU.MESH_DEVICES must be >= 0 "
+                         f"(0 = all visible), got {cfg.TPU.MESH_DEVICES}")
     want = min(cfg.TPU.MESH_DEVICES or len(jax.devices()), len(jax.devices()))
     n = want
     while batch_size % n:

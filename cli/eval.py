@@ -38,43 +38,83 @@ def _pairs(sal_dir: str, gt_dir: str) -> list[tuple[str, str]]:
 
 
 def _bucket_hw(h: int, w: int, step: int = 64) -> tuple[int, int]:
-    return (-(-h // step) * step, -(-w // step) * step)
+    from sod100k_tpu.data.csf_dataset import bucket_hw
+
+    return bucket_hw(h, w, step)
 
 
-def evaluate_pairs_device(pairs, batch: int = 32, with_smeasure: bool = True) -> dict:
-    """Shape-bucketed padded batches through the on-device accumulator."""
+def _png_size(path: str):
+    """Header-only (h, w) read — no pixel decode; None when unreadable."""
+    from PIL import Image
+
+    try:
+        with Image.open(path) as im:
+            return im.size[1], im.size[0]
+    except Exception:
+        return None
+
+
+def evaluate_pairs_device(pairs, batch: int = 32, with_smeasure: bool = True,
+                          log=print) -> dict:
+    """Shape-bucketed padded batches through the on-device accumulator.
+
+    Bucketing uses header-only size reads (pixels decode per chunk, so
+    memory stays bounded at one chunk regardless of dataset size); every
+    chunk pads to `batch` images so each bucket compiles exactly one
+    shape. Unreadable or size-mismatched pairs are skipped with a warning
+    — the native backend (sal_metric.cpp:67-71) skips them too, so both
+    backends agree on dirty data."""
     import cv2
 
     acc = SalMetricAccumulator()
     s_sum, s_n = 0.0, 0
     buckets: dict[tuple[int, int], list] = defaultdict(list)
     for sp, gp in pairs:
-        sal = cv2.imread(sp, cv2.IMREAD_GRAYSCALE)
-        gt = cv2.imread(gp, cv2.IMREAD_GRAYSCALE)
-        assert sal is not None and gt is not None, (sp, gp)
-        assert sal.shape == gt.shape, f"size mismatch: {sp}"
-        buckets[_bucket_hw(*sal.shape)].append((sal, gt))
+        hw = _png_size(sp)
+        if hw is None or _png_size(gp) != hw:
+            log(f"eval: skipping unreadable/mismatched pair {sp}")
+            continue
+        buckets[_bucket_hw(*hw)].append((sp, gp))
 
     from sod100k_tpu.metrics.smeasure import s_measure_batch
 
     for (bh, bw), items in buckets.items():
         for i in range(0, len(items), batch):
             chunk = items[i:i + batch]
-            n = len(chunk)
-            sal_p = np.zeros((n, bh, bw), np.float32)
-            gt_p = np.zeros((n, bh, bw), np.float32)
-            m = np.zeros((n, bh, bw), np.float32)
-            for j, (s, g) in enumerate(chunk):
-                h, w = s.shape
-                sal_p[j, :h, :w] = s
-                gt_p[j, :h, :w] = g
-                m[j, :h, :w] = 1
-            acc.update_batch(sal_p, gt_p, mask=m)
+            k = len(chunk)
+            # pad to `batch` rows: ONE compiled shape per bucket (trailing
+            # rows are all-zero-mask and excluded via count=k / sm[:k])
+            sal_p = np.zeros((batch, bh, bw), np.float32)
+            gt_p = np.zeros((batch, bh, bw), np.float32)
+            m = np.zeros((batch, bh, bw), np.float32)
+            skipped = 0
+            for j, (sp, gp) in enumerate(chunk):
+                sal = cv2.imread(sp, cv2.IMREAD_GRAYSCALE)
+                gt = cv2.imread(gp, cv2.IMREAD_GRAYSCALE)
+                if sal is None or gt is None or sal.shape != gt.shape:
+                    log(f"eval: skipping undecodable pair {sp}")
+                    skipped += 1
+                    continue
+                h, w = sal.shape
+                jj = j - skipped
+                sal_p[jj, :h, :w] = sal
+                gt_p[jj, :h, :w] = gt
+                m[jj, :h, :w] = 1
+            k -= skipped
+            if not k:
+                continue
+            acc.update_batch(sal_p, gt_p, mask=m, count=k)
             if with_smeasure:
                 sm = np.asarray(s_measure_batch(
                     sal_p / 255.0, (gt_p > 128).astype(np.float32), m))
-                s_sum += float(sm.sum())
-                s_n += n
+                s_sum += float(sm[:k].sum())
+                s_n += k
+    # reference divisor semantics (sal_metric.cpp:158-162): macro averages
+    # divide by the LISTED pair count — skipped/unreadable pairs still
+    # count in the denominator — so both backends agree on dirty data
+    if acc.n:
+        acc.n = len(pairs)
+        s_n = len(pairs)
     res = acc.result()
     if with_smeasure and s_n:
         res["s_measure"] = s_sum / s_n
@@ -82,17 +122,29 @@ def evaluate_pairs_device(pairs, batch: int = 32, with_smeasure: bool = True) ->
 
 
 def evaluate_pairs_native(pairs, num_threads: int = 8) -> dict:
+    from sod100k_tpu.metrics.salmetric import BETA2
     from sod100k_tpu.metrics.native import do_evaluation
 
     sal = [p[0] for p in pairs]
     gt = [p[1] for p in pairs]
-    return do_evaluation(num_threads, sal, gt, print_stdout=False)
+    res = do_evaluation(num_threads, sal, gt, print_stdout=False)
+    # derive the 256-bin F curve from the returned P/R so the per-epoch
+    # FmeasureResult file carries the full reference report on this
+    # backend too (sal_metric.cpp:164-175 math)
+    p = np.asarray(res["precision"])
+    r = np.asarray(res["recall"])
+    res["fmeasure"] = ((1 + BETA2) * p * r) / (BETA2 * p + r)
+    return res
 
 
 def run_eval(cfg, epoch_range=(0, 1), method: str | None = None,
              backend: str | None = None, datasets=None, log=print) -> dict:
     method = method or cfg.TASK or cfg.MODEL.ARCH
     backend = backend or cfg.TPU.EVAL_BACKEND
+    if backend == "device":
+        from .common import enable_compile_cache
+
+        enable_compile_cache()  # metric kernels compile per bucket shape
     datasets = datasets or cfg.TEST.DATASETS
     out_dir = os.path.join(cfg.DATA.SAVEDIR, method)
     os.makedirs(out_dir, exist_ok=True)
@@ -115,7 +167,7 @@ def run_eval(cfg, epoch_range=(0, 1), method: str | None = None,
                           "w") as plist:
                     plist.writelines(f"{sp} {gp}\n" for sp, gp in pairs)
                 res = (evaluate_pairs_native(pairs) if backend == "native"
-                       else evaluate_pairs_device(pairs))
+                       else evaluate_pairs_device(pairs, log=log))
                 report = (f"epoch {epoch} {ds}: MaxF {res['max_f']:.6f} "
                           f"MAE {res['mae']:.6f} MeanF {res['mean_f']:.6f}")
                 if "max_e" in res:

@@ -136,8 +136,13 @@ def load_image_caffe(path: str) -> np.ndarray:
     return im.astype(np.float32) - CAFFE_BGR_MEAN
 
 
-def _bucket(h: int, w: int, step: int) -> tuple[int, int]:
+def bucket_hw(h: int, w: int, step: int) -> tuple[int, int]:
+    """Ceil (h, w) to `step` multiples — the shared shape-bucket key used
+    by padded batching here and by cli.eval's device backend."""
     return (-(-h // step) * step, -(-w // step) * step)
+
+
+_bucket = bucket_hw  # internal alias
 
 
 def padded_batches(dataset: CSFTrainData, batch_size: int = 1, *,

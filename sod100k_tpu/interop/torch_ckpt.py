@@ -86,7 +86,7 @@ def state_dict_to_pytree(state_dict: dict[str, Any], dtype=np.float32) -> dict:
     return params
 
 
-def pytree_to_state_dict(params: dict, torch_module=None) -> dict:
+def pytree_to_state_dict(params: dict) -> dict:
     """Convert our pytree back to a reference-layout state_dict (numpy values).
 
     Inverse of :func:`state_dict_to_pytree`; BN ``num_batches_tracked`` entries
@@ -94,6 +94,7 @@ def pytree_to_state_dict(params: dict, torch_module=None) -> dict:
     affect inference).
     """
     flat: dict[str, np.ndarray] = {}
+    inv_bn = {v2: k2 for k2, v2 in _BN_RENAME.items()}
 
     def walk(node, prefix):
         for k, v in node.items():
@@ -107,10 +108,10 @@ def pytree_to_state_dict(params: dict, torch_module=None) -> dict:
                     arr.transpose(3, 2, 0, 1)
                 )
             elif k == "alpha":
-                flat[f"{prefix}.weight"] = arr
+                flat[f"{prefix}.weight" if prefix else "weight"] = arr
             elif k in ("scale", "offset", "mean", "var"):
-                inv = {v2: k2 for k2, v2 in _BN_RENAME.items()}
-                flat[f"{prefix}.{inv[k]}"] = arr
+                name = inv_bn[k]
+                flat[f"{prefix}.{name}" if prefix else name] = arr
             else:
                 flat[path] = arr
 

@@ -21,11 +21,14 @@ _lib: Optional[ctypes.CDLL] = None
 
 
 def build(force: bool = False) -> bool:
-    """Build the native library/CLI via make; returns True on success."""
+    """Build the native library/CLI via make (force=True rebuilds
+    unconditionally with make -B). Returns True; raises RuntimeError with
+    the captured stderr when the toolchain/build fails."""
     if not force and os.path.exists(_LIB) and os.path.exists(_BIN):
         return True
+    cmd = ["make", "-C", _DIR] + (["-B"] if force else [])
     try:
-        subprocess.run(["make", "-C", _DIR], check=True, capture_output=True)
+        subprocess.run(cmd, check=True, capture_output=True)
         return True
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
         out = getattr(e, "stderr", b"") or b""

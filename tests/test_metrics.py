@@ -287,3 +287,36 @@ def test_s_measure_matches_reference_transcription():
         want = _smeasure_oracle(sal, gt)
         got = float(s_measure(sal, gt))
         assert got == pytest.approx(want, abs=1e-5), (got, want)
+
+
+def test_eval_backends_agree_on_dirty_pairs(tmp_path):
+    """Device and native backends must produce identical numbers on dirty
+    data: both skip unreadable/size-mismatched pairs but keep the LISTED
+    pair count as the macro-average divisor (the reference's
+    sal_metric.cpp:158-162 semantics)."""
+    cv2 = pytest.importorskip("cv2")
+    from cli.eval import _pairs, evaluate_pairs_device, evaluate_pairs_native
+
+    sal_dir = tmp_path / "sal"
+    gt_dir = tmp_path / "gt"
+    sal_dir.mkdir()
+    gt_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(7):
+        h, w = 60 + i, 70
+        cv2.imwrite(str(sal_dir / f"x{i}.png"),
+                    rng.integers(0, 256, (h, w), dtype=np.uint8))
+        cv2.imwrite(str(gt_dir / f"x{i}.png"),
+                    (rng.random((h, w)) > 0.5).astype(np.uint8) * 255)
+    (sal_dir / "x3.png").write_bytes(b"not a png")  # unreadable sal
+    cv2.imwrite(str(gt_dir / "x5.png"),  # GT at the wrong resolution
+                (rng.random((10, 10)) > 0.5).astype(np.uint8) * 255)
+
+    pairs = _pairs(str(sal_dir), str(gt_dir))
+    assert len(pairs) == 7
+    d = evaluate_pairs_device(pairs, batch=4, log=lambda *a: None)
+    n = evaluate_pairs_native(pairs)
+    assert n["images"] == 5  # both skipped the same two pairs
+    for k in ("max_f", "mae", "mean_f", "mean_precision", "mean_recall"):
+        assert d[k] == pytest.approx(n[k], abs=1e-5), (k, d[k], n[k])
+    assert len(n["fmeasure"]) == 256  # native carries the full F curve too
