@@ -35,7 +35,10 @@ def _kaiming_uniform(key, kh, kw, cin, cout, groups=1, dtype=jnp.float32):
     """torch's default conv init: uniform(+-sqrt(1/fan_in)), fan_in=cin/groups*kh*kw
     (conv2d.py:73-78, csnet.py:1006-1012)."""
     fan_in = (cin // groups) * kh * kw
-    bound = math.sqrt(1.0 / fan_in)
+    # fan_in == 0 happens on aggressively-pruned configs where a surviving
+    # MS/dil row's input branch was fully pruned (the apply path propagates
+    # that branch as None); the kernel is then 0-sized and any bound works
+    bound = math.sqrt(1.0 / fan_in) if fan_in else 0.0
     return jax.random.uniform(key, (kh, kw, cin // groups, cout), dtype,
                               minval=-bound, maxval=bound)
 

@@ -23,6 +23,7 @@ jit sees fixed shapes.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import pickle
 from typing import Optional, Sequence
 
@@ -80,6 +81,27 @@ class BlockPlan:
         return 1 if self.kernel == 3 else 0
 
 
+@functools.lru_cache(maxsize=64)
+def _block_plans_cached(stages: tuple) -> tuple:
+    """ILBlock layout for a stage tuple: stage0 stem, then stages of
+    [s0,s1,s2,s3] blocks with stride 2 opening stages 2-4
+    (CSNet.__init__, csnet.py:218-302)."""
+    plans = []
+    e = 0
+    plans.append(BlockPlan(e, "stage0", 0, stride=1, first=True))
+    e += 1
+    for i in range(stages[0]):
+        plans.append(BlockPlan(e, "stage1", i, stride=1, first=False))
+        e += 1
+    for s, name in ((1, "stage2"), (2, "stage3"), (3, "stage4")):
+        for i in range(stages[s]):
+            plans.append(
+                BlockPlan(e, name, i, stride=2 if i == 0 else 1, first=False)
+            )
+            e += 1
+    return tuple(plans)
+
+
 @dataclasses.dataclass(frozen=True)
 class LayerConfig:
     entries: tuple[Entry, ...]
@@ -92,21 +114,9 @@ class LayerConfig:
 
     def block_plans(self) -> tuple[BlockPlan, ...]:
         """ILBlock layout: stage0 stem, then stages of [s0,s1,s2,s3] blocks
-        with stride 2 opening stages 2-4 (CSNet.__init__, csnet.py:218-302)."""
-        plans = []
-        e = 0
-        plans.append(BlockPlan(e, "stage0", 0, stride=1, first=True))
-        e += 1
-        for i in range(self.stages[0]):
-            plans.append(BlockPlan(e, "stage1", i, stride=1, first=False))
-            e += 1
-        for s, name in ((1, "stage2"), (2, "stage3"), (3, "stage4")):
-            for i in range(self.stages[s]):
-                plans.append(
-                    BlockPlan(e, name, i, stride=2 if i == 0 else 1, first=False)
-                )
-                e += 1
-        return tuple(plans)
+        with stride 2 opening stages 2-4 (CSNet.__init__, csnet.py:218-302).
+        Cached per stage tuple — trace-time callers rebuild this freely."""
+        return _block_plans_cached(tuple(self.stages))
 
     @property
     def fuse_entry(self) -> int:

@@ -107,7 +107,22 @@ def _idx(mask_parts) -> np.ndarray:
 
 
 def _gather_bn(bn: dict, keep: np.ndarray) -> dict:
-    return {k: np.asarray(v)[keep] for k, v in bn.items()}
+    """Gather surviving BN channels. Reference semantics (load_BN_weight,
+    csnet.py:633-651): only weight/bias (scale/offset) are copied — the
+    rebuilt model keeps FRESH running statistics (mean=0, var=1), which the
+    finetune phase then re-estimates. Carrying the old gathered stats
+    instead was a measured divergence: pruned-model forwards differed from
+    the reference's before any finetuning."""
+    out = {}
+    for k, v in bn.items():
+        a = np.asarray(v)
+        if k == "mean":
+            out[k] = np.zeros(len(keep), a.dtype)
+        elif k == "var":
+            out[k] = np.ones(len(keep), a.dtype)
+        else:
+            out[k] = a[keep]
+    return out
 
 
 def _gather_cbr(node: dict, in_keep: np.ndarray, mask: Mask) -> dict:

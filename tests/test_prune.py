@@ -31,6 +31,14 @@ def _randomized_params(seed=5):
                     g = rng.uniform(0.0, 1.0, size=c).astype(np.float32)
                     g[rng.integers(c)] = 0.9  # keep the branch alive
                     v["scale"] = jax.numpy.asarray(g)
+                    # non-trivial running stats: the reference RESETS
+                    # mean/var on prune (load_BN_weight copies only
+                    # weight/bias) — perturbing them here makes the
+                    # bit-equality oracle sensitive to that semantic
+                    v["mean"] = jax.numpy.asarray(
+                        rng.normal(0, 0.5, size=c).astype(np.float32))
+                    v["var"] = jax.numpy.asarray(
+                        rng.uniform(0.5, 2.0, size=c).astype(np.float32))
                 else:
                     walk(v)
 
