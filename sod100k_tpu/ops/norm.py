@@ -43,7 +43,10 @@ def batchnorm_train(x: jax.Array, p: dict) -> tuple[jax.Array, dict]:
     """
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=(0, 1, 2))
-    var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
+    # E[x^2]-E[x]^2 can go slightly negative under f32 cancellation (large
+    # mean, tiny spread); clamp so rsqrt can't NaN-poison the running var
+    var = jnp.maximum(
+        jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean), 0.0)
     inv = jax.lax.rsqrt(var + BN_EPS)
     y = (xf - mean) * (inv * p["scale"]) + p["offset"]
     n = x.shape[0] * x.shape[1] * x.shape[2]

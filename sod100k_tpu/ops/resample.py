@@ -146,7 +146,12 @@ def avg_pool_torch(
 
     def out_len(size):
         eff = size + 2 * padding - kernel
-        return (-(-eff // stride) if ceil_mode else eff // stride) + 1
+        out = (-(-eff // stride) if ceil_mode else eff // stride) + 1
+        if ceil_mode and (out - 1) * stride >= size + padding:
+            # torch drops the last window when it would start entirely in
+            # the right/bottom padding (pooling docs; bites stride > kernel)
+            out -= 1
+        return out
 
     oh, ow = out_len(h), out_len(w)
     extra_h = max(0, (oh - 1) * stride + kernel - (h + 2 * padding))

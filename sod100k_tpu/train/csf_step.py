@@ -1,9 +1,10 @@
 """CSF+Res2Net training step (the reference Solver's semantics, TPU-native).
 
 Reference recipe (CSF+Res2Net/solver.py): Adam(lr 5e-5, wd 5e-4) over the
-*trainable* params only (backbone block/top BNs are frozen:
-csf_res2net.py:45-46,60-62,66-67,125-126,156-157 — note the stem Sequential
-BNs are NOT frozen, only eval-mode), BCE-with-logits reduction='sum' scaled by
+*trainable* params only (frozen: backbone block/top BN affines AND the
+downsample shortcut convs, csf_res2net.py:45-46,60-62,66-67,125-126,156-157
+— note the stem Sequential BNs and the downsample BN affines are NOT
+frozen, only eval-mode), BCE-with-logits reduction='sum' scaled by
 1/(iter_size*batch) (:98-99), gradient accumulation over iter_size=10
 micro-batches (:104-110), lr/10 after epoch 15 by optimizer re-creation
 (:123-125; re-creating Adam also resets its moments — drivers reproduce this
@@ -19,8 +20,6 @@ one jitted step per micro-batch and the optimizer applies every iter_size-th.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax
@@ -28,12 +27,18 @@ import optax
 from ..arch.csf_res2net import csf_apply
 from .params import merge, partition
 
-_FROZEN_BN_MARKERS = ("bn1", "bn3", "bns", "downsample")
+_FROZEN_BN_MARKERS = ("bn1", "bn3", "bns")
 
 
 def csf_partition(params: dict) -> tuple[dict, dict]:
-    """Split CSF params into (trainable, state): BN running stats plus the
-    frozen backbone BN affines (requires_grad=False in the reference)."""
+    """Split CSF params into (trainable, state): BN running stats, the
+    frozen backbone BN affines, AND the downsample shortcut convs.
+
+    requires_grad=False set in the reference: block bn1/bns/bn3 affines
+    (csf_res2net.py:45-46,60-62,66-67), the top-level bn1 (:125-126), and
+    the downsample CONV — ``downsample._modules['1']`` (:156-157). The
+    downsample BN (index 2) affines are NOT frozen and train; the stem
+    conv1 Sequential BNs train too."""
     trainable, state = partition(params)
 
     def is_frozen(path_parts: list[str]) -> bool:
@@ -42,7 +47,12 @@ def csf_partition(params: dict) -> tuple[dict, dict]:
         if path_parts[1] == "bn1":
             return True  # base.bn1 (csf_res2net.py:125-126)
         if path_parts[1].startswith("layer"):
-            # block bn1/bns.*/bn3 and downsample.2 affines
+            if "downsample" in path_parts:
+                # reference freezes the 1x1 shortcut CONV (:156-157);
+                # the downsample BN affines (index 2) stay trainable
+                i = path_parts.index("downsample")
+                return path_parts[i + 1] == "1"
+            # block bn1/bns.*/bn3 affines
             return any(m in path_parts for m in _FROZEN_BN_MARKERS)
         return False  # stem conv1.1/conv1.4 BNs stay trainable
 
@@ -53,7 +63,8 @@ def csf_partition(params: dict) -> tuple[dict, dict]:
                 move(v, node_s.setdefault(k, {}), parts + [k])
                 if not v:
                     del node_t[k]
-            elif k in ("scale", "offset") and is_frozen(parts + [k]):
+            elif (k in ("scale", "offset", "kernel")
+                  and is_frozen(parts + [k])):
                 node_s[k] = node_t.pop(k)
 
     move(trainable, state, [])
@@ -68,7 +79,13 @@ def make_csf_optimizer(lr: float = 5e-5, weight_decay: float = 5e-4,
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         optax.scale(-1.0),
     )
-    return optax.MultiSteps(inner, every_k_schedule=iter_size)
+    # use_grad_mean=False: the reference SUMS micro-grads (backward()
+    # accumulation over iter_size batches, solver.py:104-110) and the loss
+    # already divides by iter_size*batch; the optax default (mean) would
+    # feed Adam grads iter_size-times smaller, inflating the effective
+    # weight-decay-to-gradient ratio by iter_size
+    return optax.MultiSteps(inner, every_k_schedule=iter_size,
+                            use_grad_mean=False)
 
 
 def make_csf_train_step(tx: optax.GradientTransformation, *,

@@ -14,8 +14,6 @@ statistics on its own.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -81,11 +81,23 @@ def test_csf_matches_reference_torch():
     assert all("num_batches_tracked" in k for k in res.missing_keys)
     model.eval()
 
-    # our param count matches torch's trainable count
+    # our param count matches torch's total count
     n_torch = sum(p.nelement() for p in model.parameters())
     from sod100k_tpu.arch.csnet import count_params
 
     assert count_params(params) == n_torch
+
+    # csf_partition's trainable set matches the reference's requires_grad
+    # set EXACTLY (frozen: block/top BN affines + downsample convs,
+    # csf_res2net.py:45-67,125-126,156-157 — the Solver's printed
+    # "number of trainable parameters")
+    n_torch_trainable = sum(p.nelement() for p in model.parameters()
+                            if p.requires_grad)
+    from sod100k_tpu.train.csf_step import csf_partition
+
+    t0, _ = csf_partition(params)
+    n_ours = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(t0))
+    assert n_ours == n_torch_trainable, (n_ours, n_torch_trainable)
 
     rng = np.random.default_rng(0)
     x = rng.standard_normal((1, 3, 64, 64), dtype=np.float32)

@@ -35,7 +35,10 @@ def test_csf_partition_freezes_reference_bns():
     assert not t("base.bn1.scale")                      # frozen (:125)
     assert not t("base.layer1.0.bn1.scale")             # frozen (:45)
     assert not t("base.layer1.0.bns.0.offset")          # frozen (:60-62)
-    assert not t("base.layer2.0.downsample.2.scale")    # frozen (:156)
+    # the reference freezes the downsample CONV (downsample._modules['1'],
+    # :156-157); the downsample BN affines TRAIN
+    assert not t("base.layer2.0.downsample.1.kernel")
+    assert t("base.layer2.0.downsample.2.scale")
     assert t("base.conv1.1.scale")                      # stem BN trainable
     assert t("base.layer1.0.conv1.kernel")              # convs trainable
     assert t("fuse.bns.0.scale")                        # head GN trainable
