@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..ops.conv import conv2d
 from ..ops.goct import ApplyCtx, goct_cbr, pall_ms_block
-from ..ops.norm import batchnorm_infer, prelu
+from ..ops.norm import batchnorm_infer
 from ..ops.resample import avg_pool_torch, max_pool_torch, resize_bilinear
 
 LAYERS = {"res2net50": (3, 4, 6, 3), "res2net101": (3, 4, 23, 3)}
@@ -145,7 +145,7 @@ def csf_init(key: jax.Array, backbone: str = "res2net50",
             "prelu": {"alpha": jnp.full((cout,), 0.25, dtype)},
         }
     cls_key = jax.random.split(keys[next(ki)], 2)
-    return {
+    p = {
         "base": base,
         "fuse": cbr(keys[next(ki)], sum(FUSE_IN), sum(FUSE_OUT), FUSE_OUT),
         "ms": ms,
@@ -154,6 +154,11 @@ def csf_init(key: jax.Array, backbone: str = "res2net50",
         "cls_layer": {"kernel": _conv_normal(cls_key[0], 1, 1, sum(FUSE_OUT), 1),
                       "bias": jnp.zeros((1,), dtype)},
     }
+    if dtype != jnp.float32:
+        # the helpers above thread dtype inconsistently (conv kernels were
+        # f32); normalize so a non-default dtype yields a uniform pytree
+        p = jax.tree.map(lambda a: a.astype(dtype), p)
+    return p
 
 
 # --------------------------------------------------------------------------

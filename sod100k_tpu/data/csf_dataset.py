@@ -7,15 +7,16 @@ p=0.5 (:109-114). No resizing in the reference (native sizes, batch 1).
 
 For the TPU, ``padded_batches`` groups samples into shape buckets
 (ceil-to-`bucket` multiples) and emits fixed-shape padded batches with pixel
-validity masks, so the masked-sum loss equals the reference's while XLA
-compiles one program per bucket. ``fixed_size`` instead resizes everything to
+validity masks, so the masked-sum loss tracks the reference's (exact on
+the loss pixels; conv borders see pad zeros, bounded by the parity test
+at rel 2e-2) while XLA compiles one program per bucket. ``fixed_size`` instead resizes everything to
 one shape (e.g. 336x336 for the Res2Net-101 recipe).
 """
 
 from __future__ import annotations
 
 import os
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 
@@ -33,6 +34,10 @@ def _load_image(path: str) -> np.ndarray:
 
 
 def _load_label(path: str) -> np.ndarray:
+    """Supported envelope: 8-bit grayscale GT PNGs (every published SOD GT
+    set). For color GTs channel 0 is cv2-BGR blue vs the reference PIL-RGB
+    red, and palette PNGs decode expanded instead of as indices — dialect
+    divergences outside the envelope, not covered by the parity gates."""
     import cv2
 
     im = cv2.imread(path, cv2.IMREAD_UNCHANGED)
@@ -149,7 +154,11 @@ def padded_batches(dataset: CSFTrainData, batch_size: int = 1, *,
                    bucket: int = 32, shuffle: bool = True,
                    seed: int = 0) -> Iterator[dict]:
     """Shape-bucketed padded batches: {"image","target","mask"} fixed-shape
-    per bucket; masked-sum losses equal native-size losses exactly."""
+    per bucket; the masked-sum LOSS VALUE equals the native-size one on the
+    real pixels, while activations near pad borders differ slightly
+    (convs see zero padding inside their receptive fields — the parity
+    test bounds the loss difference at rel 2e-2 with pretrained-scale
+    weights)."""
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)

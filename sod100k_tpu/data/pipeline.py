@@ -22,7 +22,7 @@ import math
 import os
 import queue
 import threading
-from typing import Iterator, Optional, Sequence
+from typing import Iterator
 
 import numpy as np
 
@@ -68,17 +68,26 @@ def _imread_rgb(path: str) -> np.ndarray:
     elif img.shape[2] == 4:
         img = img[:, :, :3]
     img = img[:, :, ::-1]  # BGR -> RGB
-    return img.astype(np.float32) / np.float32(255.0)
+    # img_as_float divides by the dtype's max (65535 for 16-bit PNGs);
+    # dividing u16 by 255 would silently feed values up to 257 downstream
+    scale = np.float32(65535.0 if img.dtype == np.uint16 else 255.0)
+    return img.astype(np.float32) / scale
 
 
 def _imread_rgb_u8(path: str) -> np.ndarray:
     """Decode-only reader for the device front-end: uint8 RGB HWC with the
-    same grayscale->3-channel / drop-alpha promotion as _imread_rgb."""
+    same grayscale->3-channel / drop-alpha promotion as _imread_rgb.
+    16-bit sources downconvert via the high byte (the u8 front-ends trade
+    sub-1/255 precision by design); other dtypes are rejected loudly."""
     import cv2
 
     img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
     if img is None:
         raise FileNotFoundError(path)
+    if img.dtype == np.uint16:
+        img = (img >> 8).astype(np.uint8)
+    elif img.dtype != np.uint8:
+        raise ValueError(f"unsupported image dtype {img.dtype}: {path}")
     if img.ndim == 2:
         img = img[:, :, None].repeat(3, axis=2)
     elif img.shape[2] == 4:
@@ -87,6 +96,11 @@ def _imread_rgb_u8(path: str) -> np.ndarray:
 
 
 def _imread_gray_u8(path: str) -> np.ndarray:
+    """GT reader. Supported envelope: 8-bit single-channel PNGs (the format
+    of every published SOD GT set). A COLOR GT would decode through cv2's
+    Rec.601 luma here while the reference's skimage as_gray uses Rec.709 in
+    float — a documented dialect divergence outside the envelope, not a
+    target of the parity gates."""
     import cv2
 
     g = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
@@ -117,21 +131,37 @@ def fold_files(folder: str) -> tuple[str, list[str]]:
 class Augment:
     """Joint crop+flip augmentation (prepare_data.py:26-88): random crop of
     up to size_h/size_w pixels per edge (at least 1 from bottom/right), then
-    lr or ud flip with p_flip probability (lr/ud chosen 50/50)."""
+    lr or ud flip with p_flip probability (lr/ud chosen 50/50).
+
+    Draws are lock-serialized (np.random.Generator is not thread-safe; the
+    threaded batch iterators call this from a pool). The draw SEQUENCE is
+    exactly seeded, but which sample receives which draw depends on thread
+    scheduling when num_threads > 1 — the same best-effort determinism as
+    the reference's multi-worker DataLoader; use num_threads=1 (or the
+    resident front-end, whose on-device augmentation is key-derived) for
+    bit-reproducible epochs."""
 
     def __init__(self, size_h: int = 15, size_w: int = 15,
                  p_flip: float = 0.5, seed: int = 0):
         self.size_h, self.size_w, self.p_flip = size_h, size_w, p_flip
         self.rng = np.random.default_rng(seed)
+        self._lock = threading.Lock()
 
     def __call__(self, img: np.ndarray, target: np.ndarray):
-        r1 = int(self.rng.integers(self.size_h))
-        r2 = -int(self.rng.integers(self.size_h)) - 1
-        c1 = int(self.rng.integers(self.size_w))
-        c2 = -int(self.rng.integers(self.size_w)) - 1
-        flip = None
-        if self.rng.random() < self.p_flip:
-            flip = "lr" if self.rng.random() < 0.5 else "ud"
+        h, w = img.shape[:2]
+        if h <= self.size_h * 2 or w <= self.size_w * 2:
+            # reference prepare_data.py guard: a crop could go empty
+            raise ValueError(
+                f"Image size too small for augmentation: {h}x{w} vs "
+                f"crop margins {self.size_h}/{self.size_w}")
+        with self._lock:
+            r1 = int(self.rng.integers(self.size_h))
+            r2 = -int(self.rng.integers(self.size_h)) - 1
+            c1 = int(self.rng.integers(self.size_w))
+            c2 = -int(self.rng.integers(self.size_w)) - 1
+            flip = None
+            if self.rng.random() < self.p_flip:
+                flip = "lr" if self.rng.random() < 0.5 else "ud"
 
         def tf(a):
             a = a[r1:r2, c1:c2]
@@ -399,6 +429,19 @@ def device_prefetch(it: Iterator[dict], *, mesh=None, depth: int = 2) -> Iterato
 
     q: queue.Queue = queue.Queue(maxsize=depth)
     stop = object()
+    abandoned = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded puts so an abandoned generator (consumer broke early /
+        # raised) releases the producer instead of pinning device-resident
+        # batches in HBM behind a forever-blocked q.put
+        while not abandoned.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
@@ -406,17 +449,21 @@ def device_prefetch(it: Iterator[dict], *, mesh=None, depth: int = 2) -> Iterato
                 arrays = {k: jax.device_put(v, sharding)
                           for k, v in batch.items() if isinstance(v, np.ndarray)}
                 rest = {k: v for k, v in batch.items() if not isinstance(v, np.ndarray)}
-                q.put({**arrays, **rest})
-            q.put(stop)
+                if not _put({**arrays, **rest}):
+                    return
+            _put(stop)
         except BaseException as e:  # surface producer failures to the consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is stop:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        abandoned.set()  # GeneratorExit / consumer exception: free the queue
