@@ -28,11 +28,26 @@ from sod100k_tpu.interop.torch_ckpt import (
 
 
 def data_mesh_for(cfg, batch_size: int, log=print):
-    """Data-parallel mesh sized to TPU.MESH_DEVICES (0 = all visible),
-    clamped to the largest device count that divides the batch (GSPMD
-    shards the batch axis evenly)."""
-    from sod100k_tpu.parallel.mesh import make_mesh
+    """Mesh for the training/eval feeds. TPU.MESH_SHAPE "DxS" builds the 2-D
+    data x spatial mesh (batch over data, image H over spatial — the lever
+    when batch_size < device count); otherwise a 1-D data mesh sized to
+    TPU.MESH_DEVICES (0 = all visible), clamped to the largest device count
+    that divides the batch (GSPMD shards the batch axis evenly)."""
+    from sod100k_tpu.parallel.mesh import (
+        make_mesh,
+        make_mesh_2d,
+        parse_mesh_shape,
+    )
 
+    if cfg.TPU.MESH_SHAPE:
+        d, s = parse_mesh_shape(cfg.TPU.MESH_SHAPE)
+        if batch_size % d:
+            raise SystemExit(
+                f"TPU.MESH_SHAPE={cfg.TPU.MESH_SHAPE}: data axis {d} must "
+                f"divide DATA.BATCH_SIZE={batch_size}")
+        mesh = make_mesh_2d(d, s)
+        log(f"2-D mesh: {d} data x {s} spatial devices")
+        return mesh
     if cfg.TPU.MESH_DEVICES < 0:
         raise SystemExit(f"TPU.MESH_DEVICES must be >= 0 "
                          f"(0 = all visible), got {cfg.TPU.MESH_DEVICES}")

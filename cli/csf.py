@@ -11,7 +11,10 @@ Same argparse surface as the reference (main.py:54-84) plus TPU extras:
 native-size protocol via shape-bucketed padded batches (masked-sum loss),
 any other value trains at that fixed square size (336 = the Res2Net-101
 recipe); --dtype bfloat16 runs mixed-precision compute; --mesh_devices
-shards batches data-parallel; --preprocess resident uploads the uint8
+shards batches data-parallel; --mesh_shape DxS builds the 2-D
+data x spatial mesh (image H partitioned with GSPMD halo exchanges — the
+scale-out lever for the reference's small-batch recipe, where pure DP
+cannot fill a slice); --preprocess resident uploads the uint8
 dataset to HBM once and runs each epoch as one dispatched scan (needs a
 fixed --image_size); --test_batch batches same-shape test images per
 dispatch (bit-identical outputs; for the m_r speed protocol). Solver semantics (solver.py): frozen-BN backbone,
@@ -119,18 +122,36 @@ def run_csf_train(config, log=print) -> dict:
                                batch_size=config.batch_size,
                                compute_dtype=compute_dtype)
 
-    # TPU-native scale-out: shard the batch over a 1-D data mesh
-    # (--mesh_devices, 0 = all visible); params/opt state replicated, XLA
-    # inserts the gradient all-reduce. The reference is single-GPU
-    # batch_size=1 + grad accumulation; at batch_size >= n_devices this
-    # runs the same math data-parallel.
-    from sod100k_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
+    # TPU-native scale-out (--mesh_shape / --mesh_devices): --mesh_shape DxS
+    # builds the 2-D data x spatial mesh — batch over data, image H over
+    # spatial with GSPMD halo exchanges — the lever for the reference's
+    # batch-1 x iter_size-10 recipe (solver.py:104-110) where pure DP can't
+    # use a slice; otherwise a 1-D data mesh. Params/opt state replicated,
+    # XLA inserts the gradient all-reduce.
+    from sod100k_tpu.parallel.mesh import (
+        batch_sharding,
+        feed_sharding,
+        make_mesh,
+        make_mesh_2d,
+        parse_mesh_shape,
+        replicate,
+    )
 
-    n_dev = min(getattr(config, "mesh_devices", 0) or len(jax.devices()),
-                len(jax.devices()))
-    while config.batch_size % n_dev:
-        n_dev -= 1
-    mesh = make_mesh(n_dev)
+    mesh_shape = getattr(config, "mesh_shape", "") or ""
+    if mesh_shape:
+        d, s = parse_mesh_shape(mesh_shape)
+        if config.batch_size % d:
+            raise SystemExit(f"--mesh_shape {mesh_shape}: data axis {d} "
+                             f"must divide --batch_size {config.batch_size}")
+        mesh = make_mesh_2d(d, s)
+        n_dev = d * s
+        log(f"2-D mesh: {d} data x {s} spatial devices")
+    else:
+        n_dev = min(getattr(config, "mesh_devices", 0) or len(jax.devices()),
+                    len(jax.devices()))
+        while config.batch_size % n_dev:
+            n_dev -= 1
+        mesh = make_mesh(n_dev)
     trainable = replicate(trainable, mesh)
     state = replicate(state, mesh)
     opt_state = replicate(opt_state, mesh)
@@ -209,8 +230,11 @@ def run_csf_train(config, log=print) -> dict:
         r_loss, i = 0.0, 0
         for batch in it:
             nb = next(iter(batch.values())).shape[0]
-            if bsh is not None and nb % n_dev == 0:
-                batch = {k: jax.device_put(jnp.asarray(v), bsh)
+            if bsh is not None and nb % mesh.shape["data"] == 0:
+                # image-like arrays also shard H over the spatial axis on a
+                # 2-D mesh (feed_sharding); rank<3 arrays stay data-only
+                batch = {k: jax.device_put(jnp.asarray(v),
+                                           feed_sharding(mesh, np.ndim(v)))
                          for k, v in batch.items()}
             else:
                 # ragged trailing bucket batch: replicate (recompiles anyway)
@@ -371,6 +395,13 @@ def main() -> None:
     parser.add_argument("--image_size", type=int, default=0,
                         help="0 = native-size bucketed batches; else fixed "
                              "square size (336 for the res2net101 recipe)")
+    parser.add_argument("--mesh_shape", type=str, default="",
+                        help="2-D mesh 'DATAxSPATIAL' (e.g. 4x2): batch "
+                             "shards over the data axis, image H over the "
+                             "spatial axis (GSPMD halo exchanges) — the "
+                             "scale-out lever for the reference's batch-1 "
+                             "x iter_size-10 336^2 recipe; overrides "
+                             "--mesh_devices")
     parser.add_argument("--mesh_devices", type=int, default=0,
                         help="data-parallel devices (0 = all visible; "
                              "clamped to a divisor of batch_size / "

@@ -7,7 +7,10 @@ layer_configs/layer_config_0.bin, load checkpoint_epoch{N}, prune BN-gamma
 channels below FINETUNE.THRES into a slim layer_config
 (saved as layer_config_finetune_{N}.bin), then retrain with plain
 Adam/SGD + step or cosine LR on BCE only (no FLOPs penalty), checkpointing
-under finetune_checkpoint_epoch{N}/.
+under finetune_checkpoint_epoch{N}/. TEST.ENABLE dumps test-set saliency
+PNGs into finetune_{dataset}_{epoch} every TEST.INTERVAL epochs from
+TEST.BEGIN (the reference's in-loop periodic test,
+finetune.py:183-185,304-352).
 
 Deliberate fix vs the reference: the optimizer is created *after* pruning
 (the reference builds it against the pre-prune parameters, finetune.py:112-123
@@ -192,6 +195,18 @@ def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
         elif val_ds is not None:
             mae = val_mae(eval_step, params_dev, val_ds,
                           cfg.DATA.BATCH_SIZE, log)
+        if (cfg.TEST.ENABLE and cfg.TEST.DATASET_PATH
+                and (epoch + 1) >= cfg.TEST.BEGIN
+                and (epoch + 1) % cfg.TEST.INTERVAL == 0):
+            # in-loop periodic test (reference finetune.py:183-185,304-352):
+            # saliency-PNG dumps into finetune_{dataset}_{epoch} every
+            # TEST.INTERVAL epochs from TEST.BEGIN — how the reference picks
+            # its best finetuned epoch in practice
+            from .test import dump_saliency_maps
+
+            log("Start testing.")
+            dump_saliency_maps(cfg, lc, params_dev, epoch + 1, log=log,
+                               dir_prefix="finetune_")
         if mae < best_mae:
             best_mae, best_epoch = mae, epoch + 1
         log(f" epoch: {epoch + 1} mae: {mae} best_epoch: {best_epoch} "

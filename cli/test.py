@@ -31,8 +31,6 @@ from sod100k_tpu.train.step import make_eval_step
 
 
 def run_test(cfg, log=print) -> dict:
-    import cv2
-
     from .common import enable_compile_cache
 
     enable_compile_cache()
@@ -42,6 +40,19 @@ def run_test(cfg, log=print) -> dict:
     epoch = meta.get("epoch", 0)
     log(f"=> loaded checkpoint '{cfg.TEST.CHECKPOINT}' (epoch {epoch})")
     log("  + Number of params: %.4fM" % (count_params(params) / 1e6))
+    return {"epoch": epoch,
+            "datasets": dump_saliency_maps(cfg, lc, params, epoch, log=log)}
+
+
+def dump_saliency_maps(cfg, lc, params, epoch, log=print,
+                       dir_prefix: str = "") -> dict:
+    """Core of the TEST protocol with in-memory (lc, params): per dataset
+    under TEST.DATASET_PATH, forward + sigmoid + resize-back + uint8 PNG
+    dump into {dir_prefix}{dataset}_{epoch}. Used by run_test and by the
+    finetune driver's in-loop periodic test (reference
+    finetune.py:183-185,304-352, which dumps into finetune_{ds}_{epoch})."""
+    import cv2
+
     dtype = jnp.bfloat16 if cfg.TPU.DTYPE == "bfloat16" else jnp.float32
     params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
 
@@ -68,28 +79,35 @@ def run_test(cfg, log=print) -> dict:
 
     # serving-level data parallelism: fixed-size batches shard over a 1-D
     # data mesh (TPU.MESH_DEVICES; params replicated, XLA splits the batch)
-    bsh = None
+    shard_mesh = None
     if fixed and batch_size > 1:
-        from sod100k_tpu.parallel.mesh import batch_sharding, replicate
+        from sod100k_tpu.parallel.mesh import replicate
 
         from .common import data_mesh_for
 
         mesh = data_mesh_for(cfg, batch_size, log)
         if len(mesh.devices.flat) > 1:
             params = replicate(params, mesh)
-            bsh = batch_sharding(mesh)
+            shard_mesh = mesh
             log(f"inference batch sharded over "
                 f"{len(mesh.devices.flat)} devices")
 
     def ship(a, dtype=None):
         a = jnp.asarray(a) if dtype is None else jnp.asarray(a, dtype)
-        return jax.device_put(a, bsh) if bsh is not None else a
+        if shard_mesh is not None:
+            # batch over data; image-like arrays also H over spatial on a
+            # 2-D TPU.MESH_SHAPE mesh (rank<3 side arrays stay data-only)
+            from sod100k_tpu.parallel.mesh import feed_sharding
+
+            return jax.device_put(a, feed_sharding(shard_mesh, a.ndim))
+        return a
 
     results = {}
     from concurrent.futures import ThreadPoolExecutor
 
     for dataset in cfg.TEST.DATASETS:
-        sal_dir = os.path.join(cfg.DATA.SAVEDIR, task, f"{dataset}_{epoch}")
+        sal_dir = os.path.join(cfg.DATA.SAVEDIR, task,
+                               f"{dir_prefix}{dataset}_{epoch}")
         os.makedirs(sal_dir, exist_ok=True)
         img_dir = os.path.join(cfg.TEST.DATASET_PATH, dataset, "images")
         names = sorted(os.listdir(img_dir))
@@ -169,7 +187,7 @@ def run_test(cfg, log=print) -> dict:
         log(f"Dataset: {dataset}, {len(names)} images, {len(names) / dt:.2f} img/s")
         results[dataset] = {"n": len(names), "sal_dir": sal_dir,
                             "img_per_sec": len(names) / dt}
-    return {"epoch": epoch, "datasets": results}
+    return results
 
 
 def run_testall_resident(cfg, log=print) -> dict:

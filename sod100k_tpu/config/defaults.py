@@ -106,6 +106,12 @@ _C.FINETUNE.SOLVER.LR_SCHEDULER = "step"
 _C.TPU = CN()
 _C.TPU.DTYPE = "float32"          # "bfloat16" for the fast inference path
 _C.TPU.MESH_DEVICES = 0           # 0 = all visible devices, else first N
+# explicit 2-D mesh "DATAxSPATIAL" (e.g. "4x2"): batch shards over the data
+# axis and image H over the spatial axis (GSPMD halo exchanges through the
+# convs). Overrides MESH_DEVICES. The spatial axis is the scale-out lever
+# when the per-device batch would drop below 1 under pure DP (small-batch
+# recipes); "" = 1-D data mesh sized by MESH_DEVICES
+_C.TPU.MESH_SHAPE = ""
 _C.TPU.EVAL_BACKEND = "device"    # "device" (JAX) | "native" (C++ CLI)
 _C.TPU.SEED = 0
 # the reference exempts conv1x1/conv3x3_1 BN gammas from weight decay but

@@ -133,35 +133,35 @@ class Augment:
     up to size_h/size_w pixels per edge (at least 1 from bottom/right), then
     lr or ud flip with p_flip probability (lr/ud chosen 50/50).
 
-    Draws are lock-serialized (np.random.Generator is not thread-safe; the
-    threaded batch iterators call this from a pool). The draw SEQUENCE is
-    exactly seeded, but which sample receives which draw depends on thread
-    scheduling when num_threads > 1 — the same best-effort determinism as
-    the reference's multi-worker DataLoader; use num_threads=1 (or the
-    resident front-end, whose on-device augmentation is key-derived) for
-    bit-reproducible epochs."""
+    Draws are INDEX-DETERMINISTIC: each sample's crop/flip comes from a
+    generator keyed on (base seed, epoch seed, sample index) — the same
+    scheme the resident front-end uses on device — so epochs are
+    bit-reproducible at any num_threads (the reference's multi-worker
+    DataLoader is schedule-dependent here; we keep its distributions and
+    fix the determinism). The iterators set the epoch seed via
+    SalData.set_epoch_seed before fanning out to the thread pool."""
 
     def __init__(self, size_h: int = 15, size_w: int = 15,
                  p_flip: float = 0.5, seed: int = 0):
         self.size_h, self.size_w, self.p_flip = size_h, size_w, p_flip
-        self.rng = np.random.default_rng(seed)
-        self._lock = threading.Lock()
+        self.seed = seed
 
-    def __call__(self, img: np.ndarray, target: np.ndarray):
+    def __call__(self, img: np.ndarray, target: np.ndarray,
+                 key: tuple[int, int] = (0, 0)):
         h, w = img.shape[:2]
         if h <= self.size_h * 2 or w <= self.size_w * 2:
             # reference prepare_data.py guard: a crop could go empty
             raise ValueError(
                 f"Image size too small for augmentation: {h}x{w} vs "
                 f"crop margins {self.size_h}/{self.size_w}")
-        with self._lock:
-            r1 = int(self.rng.integers(self.size_h))
-            r2 = -int(self.rng.integers(self.size_h)) - 1
-            c1 = int(self.rng.integers(self.size_w))
-            c2 = -int(self.rng.integers(self.size_w)) - 1
-            flip = None
-            if self.rng.random() < self.p_flip:
-                flip = "lr" if self.rng.random() < 0.5 else "ud"
+        rng = np.random.default_rng((self.seed, *key))
+        r1 = int(rng.integers(self.size_h))
+        r2 = -int(rng.integers(self.size_h)) - 1
+        c1 = int(rng.integers(self.size_w))
+        c2 = -int(rng.integers(self.size_w)) - 1
+        flip = None
+        if rng.random() < self.p_flip:
+            flip = "lr" if rng.random() < 0.5 else "ud"
 
         def tf(a):
             a = a[r1:r2, c1:c2]
@@ -195,8 +195,15 @@ class SalData:
         self.size = size
         self.mode = mode
         self.aug = Augment(seed=seed) if (augmentation and mode == "train") else None
+        self._epoch_seed = 0
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] | None = (
             {} if cache else None)
+
+    def set_epoch_seed(self, epoch_seed: int) -> None:
+        """Key this epoch's per-sample augmentation draws (the batch
+        iterators call this with their shuffle seed, so (seed, epoch, idx)
+        fully determines every draw regardless of thread scheduling)."""
+        self._epoch_seed = int(epoch_seed)
 
     def _decode_u8(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
         """uint8 (image HWC, gt HW) at native resolution, RAM-cached."""
@@ -229,7 +236,7 @@ class SalData:
         float path, indistinguishable at training time."""
         img, gt = self._decode_u8(idx)
         if self.aug is not None:
-            img, gt = self.aug(img, gt)
+            img, gt = self.aug(img, gt, key=(self._epoch_seed, idx))
         import cv2
 
         img = cv2.resize(img, (self.size[1], self.size[0]),
@@ -247,7 +254,7 @@ class SalData:
         gt = gt_u8.astype(np.float32) / np.float32(255.0)
         h, w = gt.shape
         if self.aug is not None:
-            img, gt = self.aug(img, gt)
+            img, gt = self.aug(img, gt, key=(self._epoch_seed, idx))
         img = resize_bilinear_np(img, self.size)
         if self.mode == "train":
             gt = resize_bilinear_np(gt, self.size)
@@ -285,8 +292,12 @@ def batches(
     seed: int = 0,
     num_threads: int = 4,
 ) -> Iterator[dict]:
-    """Epoch iterator of stacked numpy batches with threaded decode."""
+    """Epoch iterator of stacked numpy batches with threaded decode.
+    Bit-reproducible at any num_threads: augmentation draws are keyed on
+    (dataset seed, this seed, sample index), not on thread arrival order."""
     order = np.arange(len(dataset))
+    if hasattr(dataset, "set_epoch_seed"):
+        dataset.set_epoch_seed(seed)
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
     n_full = len(order) // batch_size
@@ -324,8 +335,12 @@ def hybrid_batches(
     num_threads: int = 4,
 ) -> Iterator[dict]:
     """Epoch iterator of uint8 train-size batches (see SalData.hybrid_item):
-    {"image_u8": (N,H,W,3) u8, "target_u8": (N,H,W,1) u8}."""
+    {"image_u8": (N,H,W,3) u8, "target_u8": (N,H,W,1) u8}. Augmentation is
+    index-deterministic (see batches), so epochs are bit-reproducible at
+    any num_threads."""
     order = np.arange(len(dataset))
+    if hasattr(dataset, "set_epoch_seed"):
+        dataset.set_epoch_seed(seed)
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
     n_full = len(order) // batch_size
@@ -416,14 +431,15 @@ def raw_batches(
 
 def device_prefetch(it: Iterator[dict], *, mesh=None, depth: int = 2) -> Iterator[dict]:
     """Overlap host batch production with device compute: a background thread
-    stages device_put batches (sharded along the data axis when a mesh is
-    given) into a small queue."""
+    stages device_put batches into a small queue. Under a mesh, arrays shard
+    batch-on-data and (for image-like rank>=3 arrays on a 2-D mesh) H on the
+    spatial axis."""
     import jax
 
     if mesh is not None:
-        from ..parallel.mesh import batch_sharding
+        from ..parallel.mesh import feed_sharding
 
-        sharding = batch_sharding(mesh)
+        sharding = None  # per-array rank-dependent (feed_sharding)
     else:
         sharding = jax.devices()[0]
 
@@ -446,7 +462,9 @@ def device_prefetch(it: Iterator[dict], *, mesh=None, depth: int = 2) -> Iterato
     def producer():
         try:
             for batch in it:
-                arrays = {k: jax.device_put(v, sharding)
+                arrays = {k: jax.device_put(
+                              v, sharding if sharding is not None
+                              else feed_sharding(mesh, v.ndim))
                           for k, v in batch.items() if isinstance(v, np.ndarray)}
                 rest = {k: v for k, v in batch.items() if not isinstance(v, np.ndarray)}
                 if not _put({**arrays, **rest}):

@@ -19,6 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
@@ -28,9 +29,54 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def make_mesh_2d(data: int, spatial: int) -> Mesh:
+    """2-D data x spatial mesh: batch sharded over `data`, image H over
+    `spatial` (GSPMD inserts the halo exchanges for convs/pools/resampling).
+    This is the lever for small-batch recipes — e.g. the CSF 336^2
+    batch-1 x iter_size-10 schedule (CSF+Res2Net/solver.py:104-110), where
+    data parallelism alone cannot use a slice."""
+    need = data * spatial
+    devs = jax.devices()
+    if len(devs) < need:
+        raise ValueError(f"mesh shape {data}x{spatial} needs {need} devices, "
+                         f"only {len(devs)} visible")
+    return Mesh(np.asarray(devs[:need]).reshape(data, spatial),
+                (DATA_AXIS, SPATIAL_AXIS))
+
+
+def parse_mesh_shape(spec: str) -> tuple[int, int]:
+    """'4x2' -> (4, 2) (data x spatial). Raises on malformed specs."""
+    try:
+        d, s = (int(v) for v in spec.lower().split("x"))
+        if d < 1 or s < 1:
+            raise ValueError
+    except ValueError:
+        raise ValueError(
+            f"mesh shape must look like '4x2' (data x spatial, both >= 1), "
+            f"got {spec!r}") from None
+    return d, s
+
+
 def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     """Leading-axis (batch) sharding for image/target arrays."""
     return NamedSharding(mesh, P(axis))
+
+
+def feed_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Sharding for a feed array of the given rank: batch on the data axis
+    and, when the mesh has a spatial axis, H (axis 1) on the spatial axis
+    for image-like arrays (rank >= 3). Rank-1/2 arrays (per-sample scalars,
+    (N,2) hw pairs) shard on data only."""
+    if SPATIAL_AXIS in mesh.shape and ndim >= 3:
+        return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_feed(batch: dict, mesh: Mesh) -> dict:
+    """device_put every array in a feed dict with its feed_sharding."""
+    return {k: (jax.device_put(v, feed_sharding(mesh, np.ndim(v)))
+                if isinstance(v, (np.ndarray, jax.Array)) else v)
+            for k, v in batch.items()}
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

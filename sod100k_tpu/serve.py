@@ -98,6 +98,12 @@ def export_artifact(out_dir: str, family: str, params, lc, *,
                    "batches": batches, "h": hw[0], "w": hw[1],
                    "compute_dtype": jnp.dtype(dtype).name,
                    "wire": wire,
+                   # compatibility metadata: load_artifact checks these and
+                   # raises a clear version-skew message instead of leaking
+                   # a StableHLO deserializer traceback
+                   "jax_version": jax.__version__,
+                   "calling_convention_version":
+                       int(exp.calling_convention_version),
                    "input": ("uint8 NHWC RGB (normalize fused)"
                              if wire == "u8" else
                              "float32 NHWC, ImageNet-normalized"),
@@ -122,13 +128,38 @@ class ServingModel:
         with open(os.path.join(path, "meta.json")) as f:
             self.meta = json.load(f)
         self.batches = sorted(self.meta.get("batches", [self.meta["batch"]]))
+        # version-skew guard: check the exporter's calling-convention
+        # version against this runtime's supported range BEFORE touching the
+        # serialized bytes, so an incompatible artifact fails with a clear
+        # what/which-versions message instead of a deserializer traceback
+        ccv = self.meta.get("calling_convention_version")
+        exporter = self.meta.get("jax_version", "unknown")
+        if ccv is not None:
+            lo = getattr(jexport, "minimum_supported_calling_convention_version",
+                         None)
+            hi = getattr(jexport, "maximum_supported_calling_convention_version",
+                         None)
+            if (lo is not None and ccv < lo) or (hi is not None and ccv > hi):
+                raise RuntimeError(
+                    f"serving artifact at {path} is incompatible with this "
+                    f"runtime: exported by jax {exporter} (calling convention "
+                    f"v{ccv}), this jax {jax.__version__} supports "
+                    f"v{lo}..v{hi}; re-export the artifact with a matching "
+                    f"jax")
         self._jitted = {}
         for b in self.batches:
             fname = os.path.join(path, f"model_b{b}.stablehlo")
             if not os.path.exists(fname):  # single-program legacy artifact
                 fname = os.path.join(path, "model.stablehlo")
-            with open(fname, "rb") as f:
-                self._exp = jexport.deserialize(f.read())
+            try:
+                with open(fname, "rb") as f:
+                    self._exp = jexport.deserialize(f.read())
+            except Exception as e:
+                raise RuntimeError(
+                    f"failed to deserialize {fname} (exported by jax "
+                    f"{exporter}, this runtime is jax {jax.__version__}): "
+                    f"{e}; if the versions differ, re-export the artifact "
+                    f"with this runtime's jax") from e
             self._jitted[b] = jax.jit(self._exp.call)
 
     @property

@@ -34,15 +34,30 @@ def save_native(path: str, trainable, state, opt_state, epoch: int) -> None:
 
 
 def restore_native(path: str, like: Optional[dict] = None) -> dict:
-    """Restore a save_native checkpoint; `like` (same-structure pytree of
-    arrays) restores with matching shardings/dtypes when given."""
+    """Restore a save_native checkpoint.
+
+    `like` (same-structure pytree of arrays) restores with matching
+    shardings/dtypes. Without `like`, leaves restore as host numpy arrays —
+    explicit RestoreArgs built from the checkpoint metadata, so Orbax never
+    has to guess (or warn about) device shardings; callers re-place the
+    tree with the current topology's shardings (the drivers' replicate()).
+    That is exactly the multi-topology resume story: restore is
+    placement-free, placement is the live mesh's job."""
     import orbax.checkpoint as ocp
 
+    ckptr = _ckptr()
+    path = os.path.abspath(path)
     if like is not None:
         restore_args = jax.tree.map(
             lambda a: ocp.ArrayRestoreArgs(sharding=getattr(a, "sharding", None)),
             like,
         )
-        return _ckptr().restore(os.path.abspath(path),
-                                restore_args=restore_args)
-    return _ckptr().restore(os.path.abspath(path))
+        return ckptr.restore(path, restore_args=restore_args)
+    md = ckptr.metadata(path)
+    # orbax >= 0.6 wraps the pytree metadata in StepMetadata.item_metadata
+    tree = getattr(getattr(md, "item_metadata", md), "tree", None)
+    if tree is None:
+        tree = md
+    restore_args = jax.tree.map(
+        lambda _meta: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+    return ckptr.restore(path, restore_args=restore_args)

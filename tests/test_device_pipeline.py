@@ -179,6 +179,43 @@ def test_hybrid_batches_match_host_pipeline(tmp_path):
                                fb["target"], atol=0.005)
 
 
+def test_host_augmentation_is_index_deterministic(tmp_path):
+    """Augmentation draws are keyed on (seed, epoch seed, sample index), so
+    host/hybrid epochs are bit-reproducible at ANY num_threads (the
+    reference's multi-worker DataLoader is thread-schedule-dependent here).
+    VERDICT r2 item 4."""
+    cv2 = pytest.importorskip("cv2")
+    from sod100k_tpu.data.pipeline import SalData, batches, hybrid_batches
+
+    rng = np.random.default_rng(3)
+    (tmp_path / "images").mkdir()
+    (tmp_path / "GT").mkdir()
+    for i in range(8):
+        h, w = 64 + 2 * i, 80 - 3 * i
+        cv2.imwrite(str(tmp_path / "images" / f"d{i}.jpg"),
+                    rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+        cv2.imwrite(str(tmp_path / "GT" / f"d{i}.png"),
+                    rng.integers(0, 255, (h, w), dtype=np.uint8))
+
+    def epoch(itfn, n_threads, seed):
+        ds = SalData(str(tmp_path), (32, 32), seed=5)
+        return [{k: np.asarray(v) for k, v in b.items()}
+                for b in itfn(ds, 4, shuffle=True, seed=seed,
+                              num_threads=n_threads)]
+
+    for itfn in (batches, hybrid_batches):
+        a = epoch(itfn, 1, seed=11)
+        b = epoch(itfn, 4, seed=11)
+        assert len(a) == len(b) == 2
+        for ba, bb in zip(a, b):
+            for k in ba:
+                np.testing.assert_array_equal(ba[k], bb[k])
+        # different epoch seeds produce different augmentation draws
+        c = epoch(itfn, 1, seed=12)
+        assert any(not np.array_equal(x[k], y[k])
+                   for x, y in zip(a, c) for k in x)
+
+
 def test_raw_batches_bucket_padding(tmp_path):
     cv2 = pytest.importorskip("cv2")
     from sod100k_tpu.data.pipeline import SalData, raw_batches

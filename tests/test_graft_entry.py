@@ -2,15 +2,15 @@
 
 Executes the in-process path on the 8-device virtual CPU mesh (the same
 environment the driver's subprocess bootstrap creates): CSNet full train
-step on the 2-D data x spatial mesh, plus the CSF+Res2Net data-parallel
-micro-step under SOD100K_DRYRUN_CSF=1 (SURVEY section 5.8 obligation).
+step on the 2-D data x spatial mesh, plus the (unconditional) CSF+Res2Net
+micro-step with its batch sharded data x spatial over the same mesh
+(SURVEY section 5.8 obligation).
 """
 
 import sys
 
 
-def test_dryrun_multichip_covers_both_families(monkeypatch, capsys):
-    monkeypatch.setenv("SOD100K_DRYRUN_CSF", "1")
+def test_dryrun_multichip_covers_both_families(capsys):
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g
 
@@ -19,4 +19,4 @@ def test_dryrun_multichip_covers_both_families(monkeypatch, capsys):
     assert "mesh={'data': 4, 'spatial': 2}" in out
     assert "sharded over 8 devices" in out
     assert "resident epoch(8)" in out
-    assert "CSF+Res2Net DP(8)" in out
+    assert "CSF+Res2Net(8, data x spatial)" in out

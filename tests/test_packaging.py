@@ -52,3 +52,33 @@ def test_package_find_covers_all_subpackages(pyproject):
             rel = os.path.relpath(root, REPO).replace(os.sep, ".")
             assert covered(rel), f"package {rel} not covered by {include}"
     assert covered("cli")
+
+
+def test_bench_check_compare_logic():
+    """Perf-regression guard semantics: throughput rows fail when slower
+    than tolerance, latency rows when higher; improvements always pass."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_check", "/root/repo/tools/bench_check.py")
+    bc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bc)
+
+    ok, _ = bc.compare("x_img_per_sec[a]", 90.0, 100.0, 0.15)
+    assert ok
+    ok, _ = bc.compare("x_img_per_sec[a]", 80.0, 100.0, 0.15)
+    assert not ok
+    ok, _ = bc.compare("x_img_per_sec[a]", 130.0, 100.0, 0.15)
+    assert ok
+    ok, _ = bc.compare("y_infer_latency_ms[b]", 1.10, 1.0, 0.15)
+    assert ok
+    ok, _ = bc.compare("y_infer_latency_ms[b]", 1.30, 1.0, 0.15)
+    assert not ok
+    ok, _ = bc.compare("y_infer_latency_ms[b]", 0.7, 1.0, 0.15)
+    assert ok
+    # every guarded metric has a recorded reference
+    import json
+
+    ref = json.load(open("/root/repo/tools/bench_reference.json"))
+    for m in bc.GUARDED_EXTRAS:
+        assert m in ref, m

@@ -96,3 +96,39 @@ def test_export_csf_family(tmp_path):
     want = np.asarray(jax.nn.sigmoid(csf_apply(
         jax.tree.map(jnp.asarray, params), jnp.asarray(x), "res2net50")))
     np.testing.assert_allclose(model(x), want, atol=1e-5)
+
+
+def test_artifact_version_skew_message(tmp_path):
+    """Compat metadata: a doctored calling-convention version (or corrupted
+    program bytes) fails with a clear version message naming the exporting
+    jax, not a deserializer traceback."""
+    import json
+
+    from sod100k_tpu.arch.csnet import csnet_init
+    from sod100k_tpu.arch.layer_config import init_layers
+
+    lc = init_layers(8, [0.5, 0.5])
+    params = csnet_init(jax.random.key(0), lc)
+    out = export_artifact(str(tmp_path / "skew"), "csnet", params, lc,
+                          batch=1, hw=(64, 64), dtype=jnp.float32)
+    meta_path = f"{out}/meta.json"
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert meta["jax_version"] == jax.__version__
+    assert isinstance(meta["calling_convention_version"], int)
+
+    meta["calling_convention_version"] = 1  # far below any supported version
+    meta["jax_version"] = "0.0.1"
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(RuntimeError, match="calling convention"):
+        load_artifact(out)
+
+    # corrupted program bytes with plausible meta: guarded deserialize
+    with open(meta_path, "w") as f:
+        json.dump({**meta, "calling_convention_version": None,
+                   "jax_version": "9.9.9"}, f)
+    with open(f"{out}/model_b1.stablehlo", "wb") as f:
+        f.write(b"not a stablehlo payload")
+    with pytest.raises(RuntimeError, match="9.9.9"):
+        load_artifact(out)
