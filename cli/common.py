@@ -27,13 +27,21 @@ from sod100k_tpu.interop.torch_ckpt import (
 )
 
 
-def data_mesh_for(cfg, batch_size: int, log=print):
+def data_mesh_for(cfg, batch_size: int, log=print, *, image_h: int = 0,
+                  stride2_factor: int = 0):
     """Mesh for the training/eval feeds. TPU.MESH_SHAPE "DxS" builds the 2-D
     data x spatial mesh (batch over data, image H over spatial — the lever
     when batch_size < device count); otherwise a 1-D data mesh sized to
     TPU.MESH_DEVICES (0 = all visible), clamped to the largest device count
-    that divides the batch (GSPMD shards the batch axis evenly)."""
+    that divides the batch (GSPMD shards the batch axis evenly).
+
+    image_h + stride2_factor (the model's cumulative downsampling at its
+    deepest strided conv, e.g. arch.csnet.DEEPEST_STRIDE2_FACTOR) enable the
+    GSPMD validity check for the 2-D path — spatially-sharded strided convs
+    silently compute wrong values below a measured extent
+    (parallel.mesh.MIN_STRIDE2_INPUT; docs/DESIGN.md §10)."""
     from sod100k_tpu.parallel.mesh import (
+        check_spatial_extent,
         make_mesh,
         make_mesh_2d,
         parse_mesh_shape,
@@ -45,6 +53,11 @@ def data_mesh_for(cfg, batch_size: int, log=print):
             raise SystemExit(
                 f"TPU.MESH_SHAPE={cfg.TPU.MESH_SHAPE}: data axis {d} must "
                 f"divide DATA.BATCH_SIZE={batch_size}")
+        if image_h and stride2_factor:
+            try:
+                check_spatial_extent(image_h, stride2_factor, s)
+            except ValueError as e:
+                raise SystemExit(f"TPU.MESH_SHAPE={cfg.TPU.MESH_SHAPE}: {e}")
         mesh = make_mesh_2d(d, s)
         log(f"2-D mesh: {d} data x {s} spatial devices")
         return mesh

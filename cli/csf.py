@@ -139,10 +139,21 @@ def run_csf_train(config, log=print) -> dict:
 
     mesh_shape = getattr(config, "mesh_shape", "") or ""
     if mesh_shape:
+        from sod100k_tpu.arch.csf_res2net import DEEPEST_STRIDE2_FACTOR
+        from sod100k_tpu.parallel.mesh import check_spatial_extent
+
         d, s = parse_mesh_shape(mesh_shape)
         if config.batch_size % d:
             raise SystemExit(f"--mesh_shape {mesh_shape}: data axis {d} "
                              f"must divide --batch_size {config.batch_size}")
+        # GSPMD validity (docs/DESIGN.md §10): fixed sizes check here,
+        # native bucketed batches check per bucket shape at feed time
+        if config.image_size:
+            try:
+                check_spatial_extent(config.image_size,
+                                     DEEPEST_STRIDE2_FACTOR, s, "CSF")
+            except ValueError as e:
+                raise SystemExit(f"--mesh_shape {mesh_shape}: {e}")
         mesh = make_mesh_2d(d, s)
         n_dev = d * s
         log(f"2-D mesh: {d} data x {s} spatial devices")
@@ -232,7 +243,19 @@ def run_csf_train(config, log=print) -> dict:
             nb = next(iter(batch.values())).shape[0]
             if bsh is not None and nb % mesh.shape["data"] == 0:
                 # image-like arrays also shard H over the spatial axis on a
-                # 2-D mesh (feed_sharding); rank<3 arrays stay data-only
+                # 2-D mesh (feed_sharding); rank<3 arrays stay data-only.
+                # Native bucketed batches vary in H: enforce the GSPMD
+                # validity boundary per bucket (fixed sizes checked once at
+                # mesh build)
+                if mesh_shape and not config.image_size:
+                    from sod100k_tpu.arch.csf_res2net import (
+                        DEEPEST_STRIDE2_FACTOR,
+                    )
+                    from sod100k_tpu.parallel.mesh import check_spatial_extent
+
+                    check_spatial_extent(batch["image"].shape[1],
+                                         DEEPEST_STRIDE2_FACTOR,
+                                         mesh.shape["spatial"], "CSF")
                 batch = {k: jax.device_put(jnp.asarray(v),
                                            feed_sharding(mesh, np.ndim(v)))
                          for k, v in batch.items()}

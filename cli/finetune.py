@@ -91,7 +91,11 @@ def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
 
     from .common import data_mesh_for
 
-    mesh = data_mesh_for(cfg, cfg.DATA.BATCH_SIZE, log)
+    from sod100k_tpu.arch.csnet import DEEPEST_STRIDE2_FACTOR
+
+    mesh = data_mesh_for(cfg, cfg.DATA.BATCH_SIZE, log,
+                         image_h=cfg.DATA.IMAGE_H,
+                         stride2_factor=DEEPEST_STRIDE2_FACTOR)
     trainable = replicate(trainable, mesh)
     state = replicate(state, mesh)
     opt_state = replicate(opt_state, mesh)

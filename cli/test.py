@@ -85,7 +85,11 @@ def dump_saliency_maps(cfg, lc, params, epoch, log=print,
 
         from .common import data_mesh_for
 
-        mesh = data_mesh_for(cfg, batch_size, log)
+        from sod100k_tpu.arch.csnet import DEEPEST_STRIDE2_FACTOR
+
+        mesh = data_mesh_for(cfg, batch_size, log,
+                             image_h=cfg.TEST.IMAGE_H,
+                             stride2_factor=DEEPEST_STRIDE2_FACTOR)
         if len(mesh.devices.flat) > 1:
             params = replicate(params, mesh)
             shard_mesh = mesh
@@ -226,7 +230,10 @@ def run_testall_resident(cfg, log=print) -> dict:
     batch = max(cfg.DATA.BATCH_SIZE, 1)
     eval_step = make_eval_step(lc, pallas=cfg.TPU.PALLAS_DW, from_u8=True,
                                compute_dtype=dtype)
-    mesh = data_mesh_for(cfg, batch, log)
+    from sod100k_tpu.arch.csnet import DEEPEST_STRIDE2_FACTOR
+
+    mesh = data_mesh_for(cfg, batch, log, image_h=cfg.TEST.IMAGE_H,
+                         stride2_factor=DEEPEST_STRIDE2_FACTOR)
     bsh = batch_sharding(mesh) if len(mesh.devices.flat) > 1 else None
 
     task = cfg.TASK or cfg.MODEL.ARCH

@@ -40,6 +40,10 @@ PLANES = (64, 128, 256, 512)
 
 FUSE_IN = (256, 512, 1024, 2048)
 FUSE_OUT = (128, 256, 512, 512)
+# cumulative downsampling at the input of the deepest TRUE strided conv
+# (layer4 block 0's 3x3/2 convs see H/16); spatial-sharding validity checks
+# key off this (parallel.mesh.check_spatial_extent)
+DEEPEST_STRIDE2_FACTOR = 16
 
 
 def _dil_split(width: int) -> tuple[int, ...]:

@@ -26,6 +26,13 @@ from ..ops.goct import ApplyCtx, goct_cbr, pall_ms_block, simplified_goct_cbr
 from ..ops.resample import resize_bilinear
 from .layer_config import Entry, LayerConfig
 
+# cumulative downsampling at the input of the deepest TRUE strided conv:
+# stages 2-4 open with stride-2 single-branch CBRs (layer_config.py:99), so
+# the stage-4 opener sees H/4 (multi-branch stride-2 gOctConvs avg-pool
+# instead of striding, ops/goct.py:122, and are exempt); spatial-sharding
+# validity checks key off this (parallel.mesh.check_spatial_extent)
+DEEPEST_STRIDE2_FACTOR = 4
+
 
 # --------------------------------------------------------------------------
 # initialization (matches torch kaiming_uniform_(a=sqrt(5)) + module defaults)

@@ -21,6 +21,48 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 SPATIAL_AXIS = "spatial"
 
+# Measured XLA GSPMD validity boundary (jax 0.9.0, virtual CPU mesh, f64
+# probes — see docs/DESIGN.md §10 and
+# tests/test_parallel.py::test_stride2_conv_spatial_shard_boundary):
+# a TRUE strided conv whose input is sharded along a spatial axis silently
+# computes a WRONG forward (rel-err up to 1.0, no error raised) when the
+# input extent on that axis is <= 4; it is bit-exact at extent >= 6 for 2-
+# and 4-way sharding. Pools (reduce_window fwd+bwd incl. select_and_scatter),
+# bilinear up/resampling and dilated stride-1 convs measured exact at every
+# probed extent (>= 2). Spatial sharding must therefore keep every stride-2
+# conv input at >= this extent on the sharded axis.
+MIN_STRIDE2_INPUT = 6
+
+
+def check_spatial_extent(image_h: int, stride2_factor: int, spatial: int,
+                         what: str = "model") -> None:
+    """Reject H-sharded meshes that would enter the measured-broken GSPMD
+    regime (silent wrong numerics, see MIN_STRIDE2_INPUT).
+
+    ``stride2_factor`` is the model's cumulative downsampling at the input
+    of its DEEPEST true strided conv: 16 for CSF+Res2Net (layer4's stride-2
+    conv sees H/16), 4 for CSNet (the stage-4 opener sees H/4). The deepest
+    feature (one more /2) must also hold at least one row per spatial shard.
+    """
+    if spatial <= 1:
+        return
+    deepest_in = image_h // stride2_factor
+    need_h = stride2_factor * MIN_STRIDE2_INPUT
+    if deepest_in < MIN_STRIDE2_INPUT:
+        raise ValueError(
+            f"spatial sharding of {what} at image height {image_h} is in the "
+            f"measured-broken XLA GSPMD regime: the deepest stride-2 conv "
+            f"input would be {deepest_in} rows (< {MIN_STRIDE2_INPUT}), where "
+            f"sharded strided convs silently compute wrong values. Use "
+            f"image height >= {need_h}, or a 1-D data mesh.")
+    if image_h // (2 * stride2_factor) < spatial:
+        raise ValueError(
+            f"spatial sharding of {what} at image height {image_h} over "
+            f"{spatial} shards leaves the deepest feature "
+            f"({image_h // (2 * stride2_factor)} rows) with fewer rows than "
+            f"shards; use at most {image_h // (2 * stride2_factor)} spatial "
+            f"shards or a larger image.")
+
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     devs = jax.devices()

@@ -37,9 +37,13 @@ def test_csf_spatial_sharded_forward_matches_single_device():
     bottlenecks and the CSF head's interpolate-to-shape octave resampling
     must survive H-axis GSPMD partitioning (halo exchanges) bit-closely.
 
-    eval-mode BN (running stats) so the forward is deterministic; 64px input
-    keeps the deepest feature map at 2x2 — the spatial shards become
-    degenerate there, which is exactly the hard case for halo logic."""
+    eval-mode BN (running stats) so the forward is deterministic. 64px input
+    makes the deepest feature 2x2: in this forward-only program the
+    partitioner all-gathers before the degenerate stride-2 convs, so the
+    result is exact — but the TRAINING direction at this size is in the
+    measured-broken GSPMD regime (docs/DESIGN.md section 10), which is why
+    check_spatial_extent rejects 2-D meshes below 96px for CSF and the
+    train-step oracle below runs at 96."""
     from sod100k_tpu.arch.csf_res2net import csf_apply, csf_init
 
     params = csf_init(jax.random.key(1))
@@ -56,6 +60,184 @@ def test_csf_spatial_sharded_forward_matches_single_device():
     out = np.asarray(jax.jit(
         fwd, out_shardings=NamedSharding(mesh, P("data", "spatial")))(ps, xs))
     np.testing.assert_allclose(out, ref, atol=5e-4)
+
+
+def test_mesh_shape_parsing_and_feed_sharding():
+    """TPU.MESH_SHAPE plumbing: parse, 2-D mesh construction, rank-aware
+    feed shardings (image-like arrays spatial on H; side arrays data-only)."""
+    import pytest
+
+    from sod100k_tpu.parallel.mesh import (
+        feed_sharding,
+        make_mesh_2d,
+        parse_mesh_shape,
+        shard_feed,
+    )
+
+    assert parse_mesh_shape("4x2") == (4, 2)
+    assert parse_mesh_shape("1X8") == (1, 8)
+    for bad in ("", "4", "4x0", "ax2", "4x2x1"):
+        with pytest.raises(ValueError):
+            parse_mesh_shape(bad)
+    with pytest.raises(ValueError):
+        make_mesh_2d(4, 4)  # 16 > 8 visible devices
+
+    mesh = make_mesh_2d(2, 4)
+    assert dict(mesh.shape) == {"data": 2, "spatial": 4}
+    assert feed_sharding(mesh, 4).spec == P("data", "spatial")
+    assert feed_sharding(mesh, 3).spec == P("data", "spatial")
+    assert feed_sharding(mesh, 2).spec == P("data")
+
+    batch = shard_feed({"image": np.zeros((4, 16, 16, 3), np.float32),
+                        "hw": np.zeros((4, 2), np.int32),
+                        "names": ["a"] * 4}, mesh)
+    assert batch["image"].sharding.spec == P("data", "spatial")
+    assert batch["hw"].sharding.spec == P("data")
+    assert batch["names"] == ["a"] * 4
+
+    from sod100k_tpu.parallel.mesh import make_mesh
+
+    mesh1 = make_mesh(4)
+    assert feed_sharding(mesh1, 4).spec == P("data")
+
+
+def test_stride2_conv_spatial_shard_boundary():
+    """Regression pin for the measured XLA GSPMD validity boundary
+    (jax 0.9.0; docs/DESIGN.md section 10): an H-sharded stride-2 conv is
+    bit-exact at input extent >= MIN_STRIDE2_INPUT — the regime every
+    product spatial mesh relies on (check_spatial_extent enforces it).
+    Below that extent the forward is silently wrong (rel-err ~1.0 measured
+    at h<=4); we only assert the safe side so an upstream fix doesn't break
+    the suite."""
+    import pytest
+
+    from sod100k_tpu.ops.conv import conv2d
+    from sod100k_tpu.parallel.mesh import (
+        MIN_STRIDE2_INPUT,
+        check_spatial_extent,
+    )
+
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.standard_normal((3, 3, 8, 8)), jnp.float32)
+    devs = np.array(jax.devices())
+    for h in (MIN_STRIDE2_INPUT, 8):
+        x = jnp.asarray(rng.standard_normal((2, h, h, 8)), jnp.float32)
+        f = lambda v: conv2d(v, k, stride=2, padding=1)
+        cos = jnp.asarray(rng.standard_normal(jax.eval_shape(f, x).shape),
+                          jnp.float32)
+        g = jax.jit(jax.grad(lambda v: jnp.sum(f(v) * cos)))
+        fwd_ref, grad_ref = np.asarray(jax.jit(f)(x)), np.asarray(g(x))
+        for s in (2, 4):
+            if h % s:
+                continue
+            mesh = Mesh(devs[: 2 * s].reshape(2, s), ("data", "spatial"))
+            xs = jax.device_put(x, NamedSharding(mesh, P("data", "spatial")))
+            np.testing.assert_array_equal(np.asarray(jax.jit(f)(xs)), fwd_ref,
+                                          err_msg=f"fwd h={h} s={s}")
+            np.testing.assert_allclose(np.asarray(g(xs)), grad_ref,
+                                       rtol=1e-6, atol=1e-6,
+                                       err_msg=f"grad h={h} s={s}")
+
+    # the guard that keeps products out of the broken regime
+    check_spatial_extent(96, 16, 2, "CSF")     # 336-recipe-like: fine
+    check_spatial_extent(224, 4, 4, "CSNet")   # train default: fine
+    check_spatial_extent(64, 16, 1, "CSF")     # 1-D data mesh: exempt
+    with pytest.raises(ValueError, match="stride-2"):
+        check_spatial_extent(64, 16, 2, "CSF")   # deepest input 4 rows
+    with pytest.raises(ValueError, match="fewer rows"):
+        check_spatial_extent(96, 16, 4, "CSF")   # 3 deep rows < 4 shards
+
+
+def test_csf_spatial_sharded_train_step_matches_single_device():
+    """The training direction of the CSF scaling story: loss AND gradients
+    through the GSPMD halo exchanges (backward of strided convs / pools /
+    interpolate-to-shape resampling under H-partitioning) must match the
+    single-device math. Compares (a) value_and_grad of the exact solver loss
+    (BCE sum / (iter*batch), frozen-BN eval forward) leaf-by-leaf, and
+    (b) one real make_csf_train_step update, sharded vs unsharded.
+
+    96px height (H/16 = 6 at the deepest strided conv) keeps the program
+    out of the measured-broken GSPMD regime — below that, spatially-sharded
+    strided convs silently compute wrong values (f64-probed; see
+    parallel.mesh.MIN_STRIDE2_INPUT and
+    test_stride2_conv_spatial_shard_boundary). W stays small (unsharded) to
+    keep the CPU compile cheap."""
+    import optax
+
+    from sod100k_tpu.arch.csf_res2net import csf_apply, csf_init
+    from sod100k_tpu.train.csf_step import (
+        csf_partition,
+        make_csf_optimizer,
+        make_csf_train_step,
+    )
+    from sod100k_tpu.train.params import merge
+
+    iter_size, bs = 2, 2
+    h, w = 96, 32
+    params = csf_init(jax.random.key(2))
+    trainable, state = csf_partition(params)
+    rng = np.random.default_rng(7)
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((bs, h, w, 3),
+                                                 dtype=np.float32)),
+        "target": jnp.asarray((rng.random((bs, h, w, 1)) > 0.5)
+                              .astype(np.float32)),
+    }
+
+    def loss_fn(t):
+        logits = csf_apply(merge(t, state), batch["image"], "res2net50")
+        bce = optax.sigmoid_binary_cross_entropy(
+            logits.astype(jnp.float32), batch["target"])
+        return jnp.sum(bce) / (iter_size * bs)
+
+    ref_loss, ref_grads = jax.jit(jax.value_and_grad(loss_fn))(trainable)
+
+    # 2 data x 2 spatial: the largest mesh the guard admits at H=96
+    # (deepest feature H/32 = 3 rows >= spatial shards)
+    from sod100k_tpu.parallel.mesh import check_spatial_extent
+
+    check_spatial_extent(h, 16, 2, "CSF")
+    mesh = Mesh(np.array(jax.devices())[:4].reshape(2, 2),
+                ("data", "spatial"))
+    repl = NamedSharding(mesh, P())
+    dsh = NamedSharding(mesh, P("data", "spatial"))
+    batch_sh = jax.tree.map(lambda a: jax.device_put(a, dsh), batch)
+    t_sh = jax.tree.map(lambda a: jax.device_put(a, repl), trainable)
+
+    def loss_sh(t, b):
+        logits = csf_apply(merge(t, state), b["image"], "res2net50")
+        bce = optax.sigmoid_binary_cross_entropy(
+            logits.astype(jnp.float32), b["target"])
+        return jnp.sum(bce) / (iter_size * bs)
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_sh))(t_sh, batch_sh)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_grads)
+    flat = {jax.tree_util.keystr(p): g
+            for p, g in jax.tree_util.tree_leaves_with_path(grads)}
+    for path, g_ref in flat_ref:
+        name = jax.tree_util.keystr(path)
+        g_ref = np.asarray(g_ref)
+        # f32 reduction-order noise only: scale atol to the leaf's own
+        # magnitude (f64 probes show the sharded math is exact to ~1e-6 rel;
+        # the broken GSPMD regime this oracle exists to catch shows whole
+        # leaves off by ~0.4 rel)
+        np.testing.assert_allclose(
+            np.asarray(flat[name]), g_ref,
+            rtol=1e-3, atol=1e-4 * max(np.abs(g_ref).max(), 1.0),
+            err_msg=name)
+
+    # the product step (MultiSteps accumulation) executes sharded and its
+    # loss metric matches; the accumulated micro-grads are the grads already
+    # verified leaf-by-leaf above
+    tx = make_csf_optimizer(iter_size=iter_size)
+    step = make_csf_train_step(tx, iter_size=iter_size, batch_size=bs,
+                               donate=False)
+    opt = jax.tree.map(lambda a: jax.device_put(a, repl), tx.init(trainable))
+    s_sh = jax.tree.map(lambda a: jax.device_put(a, repl), state)
+    t2, _, m = step(t_sh, s_sh, opt, batch_sh, jnp.float32(5e-5))
+    np.testing.assert_allclose(float(m["loss"]), float(ref_loss), rtol=1e-5)
+    assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(t2))
 
 
 def test_orbax_round_trip_with_sharded_arrays(tmp_path):
