@@ -75,6 +75,16 @@ def derive_pruned_config(
         mask = np.split(mask_flat, split_pts)
         new_out = tuple(int(m.sum()) for m in mask)
         masks[layer] = mask
+        if sum(new_out) == 0:
+            # Neither the reference (csnet.py:836-853 builds torch convs
+            # from the counts — a 0-channel conv is unrepresentable) nor
+            # our apply can express a block with no surviving channels;
+            # fail loudly instead of emitting a broken pytree.
+            raise ValueError(
+                f"pruning at thres={thres:g} leaves layer {layer} ({path}) "
+                f"with ZERO surviving channels (max |gamma| = "
+                f"{float(np.abs(gammas).max()):.3g}); lower FINETUNE.THRES "
+                f"or keep at least one channel per block alive.")
 
         if layer == 0:
             new_in: tuple[int, ...] = (3,)

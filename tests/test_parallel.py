@@ -240,6 +240,65 @@ def test_csf_spatial_sharded_train_step_matches_single_device():
     assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(t2))
 
 
+def test_csnet_2d_sharded_train_step_matches_single_device():
+    """CSNet's FULL train step (dynamic-wd penalty, global-batch BN stats,
+    Adam update) on the 2-D data x spatial mesh must reproduce single-device
+    math: BN means/vars reduce over batch AND H shards, the penalty's GAP
+    hooks reduce over sharded H, and every gradient flows through the halo
+    exchanges. Complements the CSF oracle above and the 1-D DP oracle in
+    test_train.py::test_sharded_step_matches_single_device.
+
+    64px input is guard-safe for CSNet (deepest stride-2 conv input is
+    64/4 = 16 rows >= parallel.mesh.MIN_STRIDE2_INPUT)."""
+    from sod100k_tpu.parallel.mesh import check_spatial_extent
+    from sod100k_tpu.train.optim import make_adam_dwd
+    from sod100k_tpu.train.params import partition
+    from sod100k_tpu.train.step import make_train_step
+
+    check_spatial_extent(64, 4, 2, "CSNet")
+    rng = np.random.default_rng(3)
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((4, 64, 64, 3),
+                                                 dtype=np.float32)),
+        "target": jnp.asarray((rng.random((4, 64, 64, 1)) > 0.5)
+                              .astype(np.float32)),
+    }
+    outs = []
+    for sharded in (False, True):
+        params = csnet_init(jax.random.key(5), LC)
+        trainable, state = partition(params)
+        tx = make_adam_dwd(trainable)
+        opt = tx.init(trainable)
+        step = make_train_step(LC, tx, flops_weight=5.0, batch_size=4,
+                               donate=False)
+        b = batch
+        if sharded:
+            mesh = Mesh(np.array(jax.devices())[:4].reshape(2, 2),
+                        ("data", "spatial"))
+            repl = NamedSharding(mesh, P())
+            dsh = NamedSharding(mesh, P("data", "spatial"))
+            b = jax.tree.map(lambda a: jax.device_put(a, dsh), batch)
+            trainable, state, opt = (
+                jax.tree.map(lambda a: jax.device_put(a, repl), t)
+                for t in (trainable, state, opt))
+        t, s, o, m = step(trainable, state, opt, b, jnp.float32(1e-4),
+                          jnp.float32(1.0))
+        outs.append((float(m["loss"]), float(m["penalty"]), t, s))
+    assert abs(outs[0][0] - outs[1][0]) < 1e-5, (outs[0][0], outs[1][0])
+    assert abs(outs[0][1] - outs[1][1]) / max(outs[0][1], 1e-9) < 1e-5
+    for which in (2, 3):  # params after update, BN state
+        for a, b_ in zip(jax.tree.leaves(outs[0][which]),
+                         jax.tree.leaves(outs[1][which])):
+            # cross-device reduction order -> ~1e-7 stat shifts; Adam's
+            # rsqrt can amplify to ~1e-4 on near-zero-moment params, and
+            # BN variance leaves carry O(100) magnitudes — scale atol to
+            # the leaf
+            b_ = np.asarray(b_)
+            np.testing.assert_allclose(
+                np.asarray(a), b_,
+                atol=1e-3 * max(1.0, float(np.abs(b_).max())))
+
+
 def test_orbax_round_trip_with_sharded_arrays(tmp_path):
     from sod100k_tpu.parallel.mesh import make_mesh, replicate
     from sod100k_tpu.train.checkpoint import restore_native, save_native
