@@ -231,6 +231,7 @@ def run_csf_train(config, log=print) -> dict:
             rename=CSF_SAVE_RENAME)
         return {"save_folder": save_folder, "losses": losses}
 
+    warned_h: set = set()  # unsafe-H buckets already logged (once per H)
     for epoch in range(config.epoch):
         if config.image_size:
             it = fixed_size_batches(dataset, config.batch_size,
@@ -241,21 +242,33 @@ def run_csf_train(config, log=print) -> dict:
         r_loss, i = 0.0, 0
         for batch in it:
             nb = next(iter(batch.values())).shape[0]
-            if bsh is not None and nb % mesh.shape["data"] == 0:
-                # image-like arrays also shard H over the spatial axis on a
-                # 2-D mesh (feed_sharding); rank<3 arrays stay data-only.
-                # Native bucketed batches vary in H: enforce the GSPMD
-                # validity boundary per bucket (fixed sizes checked once at
-                # mesh build)
-                if mesh_shape and not config.image_size:
-                    from sod100k_tpu.arch.csf_res2net import (
-                        DEEPEST_STRIDE2_FACTOR,
-                    )
-                    from sod100k_tpu.parallel.mesh import check_spatial_extent
+            shardable = bsh is not None and nb % mesh.shape["data"] == 0
+            if shardable and mesh_shape and not config.image_size:
+                # Native bucketed batches vary in H: spatial sharding is
+                # only valid above the measured GSPMD extent boundary
+                # (fixed sizes checked once at mesh build). An unsafe-H
+                # bucket falls back to replication — identical math (the
+                # ragged-batch branch below already runs that way), just
+                # without the spatial split for that bucket.
+                from sod100k_tpu.arch.csf_res2net import (
+                    DEEPEST_STRIDE2_FACTOR,
+                )
+                from sod100k_tpu.parallel.mesh import check_spatial_extent
 
+                try:
                     check_spatial_extent(batch["image"].shape[1],
                                          DEEPEST_STRIDE2_FACTOR,
                                          mesh.shape["spatial"], "CSF")
+                except ValueError as e:
+                    h_bad = batch["image"].shape[1]
+                    if h_bad not in warned_h:
+                        warned_h.add(h_bad)
+                        log(f"bucket H={h_bad}: replicating instead of "
+                            f"spatial-sharding ({e})")
+                    shardable = False
+            if shardable:
+                # image-like arrays also shard H over the spatial axis on a
+                # 2-D mesh (feed_sharding); rank<3 arrays stay data-only
                 batch = {k: jax.device_put(jnp.asarray(v),
                                            feed_sharding(mesh, np.ndim(v)))
                          for k, v in batch.items()}

@@ -246,3 +246,29 @@ def test_csf_cli_train_resident(csf_root, tmp_path):
     assert all(np.isfinite(v) for v in out["losses"])
     final = os.path.join(out["save_folder"], "models", "final.pth")
     assert os.path.exists(final)
+
+
+def test_csf_cli_train_native_mesh_shape_fallback(csf_root, tmp_path):
+    """--mesh_shape with native-size buckets: buckets below the GSPMD
+    spatial-extent boundary (docs/DESIGN.md section 10) must fall back to
+    replication — identical math, logged once per H — instead of crashing
+    mid-training. The fixture's 40-64px images all land in a 64x64 bucket,
+    below the 96px CSF boundary, so every batch takes the fallback."""
+    from cli.csf import run_csf_train
+
+    logs: list[str] = []
+    config = types.SimpleNamespace(
+        lr=5e-5, wd=5e-4, pretrained_model="", epoch=1, batch_size=2,
+        load="", save_folder=str(tmp_path / "out"), epoch_save=1, iter_size=2,
+        show_every=2, train_root=str(csf_root),
+        train_list=str(csf_root / "train.lst"), arch="res2net50",
+        image_size=0, mesh_shape="2x2",
+    )
+    os.makedirs(config.save_folder)
+    out = run_csf_train(config, log=lambda *a, **k: logs.append(" ".join(
+        str(x) for x in a)))
+    assert os.path.exists(os.path.join(out["save_folder"], "models",
+                                       "final.pth"))
+    fallback = [l for l in logs if "replicating instead of" in l]
+    assert len(fallback) == 1, logs  # warned once per distinct H
+    assert "H=64" in fallback[0]

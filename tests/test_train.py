@@ -237,11 +237,25 @@ def test_bf16_training_prunes_same_architecture_as_f32():
     # fixture). Gate at the decision level: threshold in the largest gap of
     # the f32 distribution (non-trivial: prunes a real cluster) and require
     # >= 98% per-channel mask agreement and a matching channel budget.
+    # The gap search is capped below every layer's max |gamma| in BOTH runs:
+    # on this amplified fixture the globally-largest gap can sit above a
+    # whole block's gammas, and a fully-dead block is unrepresentable
+    # (derive_pruned_config raises — the reference's rebuild cannot express
+    # it either).
+    from sod100k_tpu.prune.finetune import _collect_gammas, _layer_paths
+
+    cap = min(
+        float(np.abs(_collect_gammas(p, lc, path, lc.entries[layer])).max())
+        for p in (params_f32, params_bf16)
+        for layer, path in enumerate(_layer_paths(lc)))
     g32 = np.sort(gammas_of(params_f32))
     gaps = np.diff(g32)
-    i = int(np.argmax(gaps))
+    mids = (g32[:-1] + g32[1:]) / 2.0
+    valid = np.flatnonzero(mids < cap)
+    assert valid.size, "no inter-cluster gap below the block-survival cap"
+    i = int(valid[np.argmax(gaps[valid])])
     assert 0 < i + 1 < g32.size, "gamma distribution must have two clusters"
-    thres = float((g32[i] + g32[i + 1]) / 2.0)
+    thres = float(mids[i])
 
     _, lc_f32, masks_f32 = prune(params_f32, lc, thres)
     _, lc_bf16, masks_bf16 = prune(params_bf16, lc, thres)
