@@ -48,7 +48,10 @@ def data_mesh_for(cfg, batch_size: int, log=print, *, image_h: int = 0,
     )
 
     if cfg.TPU.MESH_SHAPE:
-        d, s = parse_mesh_shape(cfg.TPU.MESH_SHAPE)
+        try:
+            d, s = parse_mesh_shape(cfg.TPU.MESH_SHAPE)
+        except ValueError as e:
+            raise SystemExit(str(e))
         if batch_size % d:
             raise SystemExit(
                 f"TPU.MESH_SHAPE={cfg.TPU.MESH_SHAPE}: data axis {d} must "
@@ -58,7 +61,10 @@ def data_mesh_for(cfg, batch_size: int, log=print, *, image_h: int = 0,
                 check_spatial_extent(image_h, stride2_factor, s)
             except ValueError as e:
                 raise SystemExit(f"TPU.MESH_SHAPE={cfg.TPU.MESH_SHAPE}: {e}")
-        mesh = make_mesh_2d(d, s)
+        try:
+            mesh = make_mesh_2d(d, s)
+        except ValueError as e:  # not enough visible devices
+            raise SystemExit(f"TPU.MESH_SHAPE={cfg.TPU.MESH_SHAPE}: {e}")
         log(f"2-D mesh: {d} data x {s} spatial devices")
         return mesh
     if cfg.TPU.MESH_DEVICES < 0:

@@ -130,11 +130,11 @@ def run_csf_train(config, log=print) -> dict:
     # XLA inserts the gradient all-reduce.
     from sod100k_tpu.parallel.mesh import (
         batch_sharding,
-        feed_sharding,
         make_mesh,
         make_mesh_2d,
         parse_mesh_shape,
         replicate,
+        shard_feed,
     )
 
     mesh_shape = getattr(config, "mesh_shape", "") or ""
@@ -192,8 +192,14 @@ def run_csf_train(config, log=print) -> dict:
                                       batch_size=config.batch_size,
                                       donate=False,
                                       compute_dtype=compute_dtype)
+        from sod100k_tpu.parallel.mesh import epoch_feed_sharding
+
+        # data axis + (on a 2-D --mesh_shape mesh) image H on the spatial
+        # axis, so the scanned steps use the whole mesh
         epoch_fn = make_resident_csf_epoch_fn(
-            step_nd, batch_size=config.batch_size, batch_sharding=bsh)
+            step_nd, batch_size=config.batch_size,
+            batch_sharding=(epoch_feed_sharding(mesh)
+                            if bsh is not None else None))
         rdata = build_resident_dataset(
             dataset, store_hw=(config.image_size, config.image_size))
         if bsh is not None:
@@ -268,10 +274,8 @@ def run_csf_train(config, log=print) -> dict:
                     shardable = False
             if shardable:
                 # image-like arrays also shard H over the spatial axis on a
-                # 2-D mesh (feed_sharding); rank<3 arrays stay data-only
-                batch = {k: jax.device_put(jnp.asarray(v),
-                                           feed_sharding(mesh, np.ndim(v)))
-                         for k, v in batch.items()}
+                # 2-D mesh; rank<3 arrays stay data-only (shard_feed)
+                batch = shard_feed(batch, mesh)
             else:
                 # ragged trailing bucket batch: replicate (recompiles anyway)
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -333,26 +337,47 @@ def run_csf_test(config, log=print) -> dict:
     # lists like the m_r speed protocol (main.py:25-27, solver.py:62-78).
     tb = max(getattr(config, "test_batch", 1) or 1, 1)
 
-    # serving-level data parallelism (the cli.test counterpart): batched
-    # test dispatches shard over a 1-D data mesh when --mesh_devices and
-    # --test_batch allow; params replicated, XLA splits the batch
+    # serving-level parallelism (the cli.test counterpart): batched test
+    # dispatches shard over --mesh_shape's 2-D data x spatial mesh (batch on
+    # data, image H on spatial; per-shape GSPMD validity check with a
+    # data-only fallback for unsafe-H shapes) or a 1-D data mesh
+    # (--mesh_devices); params replicated, XLA splits the batch
     bsh = None
-    n_dev = min(getattr(config, "mesh_devices", 0) or len(jax.devices()),
-                len(jax.devices()))  # 0 = all visible, as in train mode
-    if tb > 1 and n_dev > 1:
+    mesh2d = None
+    mesh_shape = getattr(config, "mesh_shape", "") or ""
+    if tb > 1 and mesh_shape:
+        from jax.sharding import NamedSharding, PartitionSpec
         from sod100k_tpu.parallel.mesh import (
-            batch_sharding,
-            make_mesh,
+            make_mesh_2d,
+            parse_mesh_shape,
             replicate,
         )
 
-        while tb % n_dev:
-            n_dev -= 1
+        d, s = parse_mesh_shape(mesh_shape)
+        if tb % d:
+            raise SystemExit(f"--mesh_shape {mesh_shape}: data axis {d} "
+                             f"must divide --test_batch {tb}")
+        mesh2d = make_mesh_2d(d, s)
+        params = replicate(params, mesh2d)
+        bsh = NamedSharding(mesh2d, PartitionSpec("data"))  # unsafe-H fallback
+        log(f"test batches sharded over 2-D mesh: {d} data x {s} spatial")
+    elif tb > 1:
+        n_dev = min(getattr(config, "mesh_devices", 0) or len(jax.devices()),
+                    len(jax.devices()))  # 0 = all visible, as in train mode
         if n_dev > 1:
-            mesh = make_mesh(n_dev)
-            params = replicate(params, mesh)
-            bsh = batch_sharding(mesh)
-            log(f"test batches sharded over {n_dev} devices")
+            from sod100k_tpu.parallel.mesh import (
+                batch_sharding,
+                make_mesh,
+                replicate,
+            )
+
+            while tb % n_dev:
+                n_dev -= 1
+            if n_dev > 1:
+                mesh = make_mesh(n_dev)
+                params = replicate(params, mesh)
+                bsh = batch_sharding(mesh)
+                log(f"test batches sharded over {n_dev} devices")
 
     t0 = time.time()
 
@@ -377,7 +402,22 @@ def run_csf_test(config, log=print) -> dict:
         # jit caches one executable per distinct (shape, tb) like the
         # reference pays per-shape cuDNN autotuning (solver.py:62-78)
         x = jnp.asarray(np.stack(stack))
-        if bsh is not None:
+        if mesh2d is not None:
+            # spatial sharding only above the GSPMD validity boundary
+            # (docs/DESIGN.md §10); unsafe-H shapes stay data-only (bsh)
+            from sod100k_tpu.arch.csf_res2net import DEEPEST_STRIDE2_FACTOR
+            from sod100k_tpu.parallel.mesh import (
+                check_spatial_extent,
+                feed_sharding,
+            )
+
+            try:
+                check_spatial_extent(x.shape[1], DEEPEST_STRIDE2_FACTOR,
+                                     mesh2d.shape["spatial"], "CSF")
+                x = jax.device_put(x, feed_sharding(mesh2d, x.ndim))
+            except ValueError:
+                x = jax.device_put(x, bsh)
+        elif bsh is not None:
             x = jax.device_put(x, bsh)
         preds = eval_step(params, x)
         if pending is not None:
@@ -436,8 +476,9 @@ def main() -> None:
                              "shards over the data axis, image H over the "
                              "spatial axis (GSPMD halo exchanges) — the "
                              "scale-out lever for the reference's batch-1 "
-                             "x iter_size-10 336^2 recipe; overrides "
-                             "--mesh_devices")
+                             "x iter_size-10 336^2 recipe; in test mode it "
+                             "shards --test_batch dispatches the same way; "
+                             "overrides --mesh_devices")
     parser.add_argument("--mesh_devices", type=int, default=0,
                         help="data-parallel devices (0 = all visible; "
                              "clamped to a divisor of batch_size / "

@@ -217,7 +217,7 @@ def run_testall_resident(cfg, log=print) -> dict:
         make_resident_salmetric_fn,
     )
     from sod100k_tpu.metrics.salmetric import format_report, result_from_sums
-    from sod100k_tpu.parallel.mesh import batch_sharding, replicate
+    from sod100k_tpu.parallel.mesh import replicate
 
     from .common import data_mesh_for, enable_compile_cache
 
@@ -234,7 +234,12 @@ def run_testall_resident(cfg, log=print) -> dict:
 
     mesh = data_mesh_for(cfg, batch, log, image_h=cfg.TEST.IMAGE_H,
                          stride2_factor=DEEPEST_STRIDE2_FACTOR)
-    bsh = batch_sharding(mesh) if len(mesh.devices.flat) > 1 else None
+    # data axis + (on a 2-D TPU.MESH_SHAPE mesh) image H on the spatial
+    # axis, so each sweep dispatch uses the whole mesh
+    from sod100k_tpu.parallel.mesh import epoch_feed_sharding
+
+    bsh = (epoch_feed_sharding(mesh) if len(mesh.devices.flat) > 1
+           else None)
 
     task = cfg.TASK or cfg.MODEL.ARCH
     out_dir = os.path.join(cfg.DATA.SAVEDIR, task)

@@ -166,7 +166,7 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
             make_resident_epoch_fn,
             make_resident_val_fn,
         )
-        from sod100k_tpu.parallel.mesh import batch_sharding as _bs
+        from sod100k_tpu.parallel.mesh import epoch_feed_sharding as _bs
         from sod100k_tpu.parallel.mesh import replicated
 
         if len(train_ds) < cfg.DATA.BATCH_SIZE:

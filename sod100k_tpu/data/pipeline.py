@@ -437,11 +437,17 @@ def device_prefetch(it: Iterator[dict], *, mesh=None, depth: int = 2) -> Iterato
     import jax
 
     if mesh is not None:
-        from ..parallel.mesh import feed_sharding
+        from ..parallel.mesh import shard_feed
 
-        sharding = None  # per-array rank-dependent (feed_sharding)
+        def place(batch: dict) -> dict:
+            return shard_feed(batch, mesh)
     else:
-        sharding = jax.devices()[0]
+        dev = jax.devices()[0]
+
+        def place(batch: dict) -> dict:
+            return {k: (jax.device_put(v, dev)
+                        if isinstance(v, np.ndarray) else v)
+                    for k, v in batch.items()}
 
     q: queue.Queue = queue.Queue(maxsize=depth)
     stop = object()
@@ -462,12 +468,7 @@ def device_prefetch(it: Iterator[dict], *, mesh=None, depth: int = 2) -> Iterato
     def producer():
         try:
             for batch in it:
-                arrays = {k: jax.device_put(
-                              v, sharding if sharding is not None
-                              else feed_sharding(mesh, v.ndim))
-                          for k, v in batch.items() if isinstance(v, np.ndarray)}
-                rest = {k: v for k, v in batch.items() if not isinstance(v, np.ndarray)}
-                if not _put({**arrays, **rest}):
+                if not _put(place(batch)):
                     return
             _put(stop)
         except BaseException as e:  # surface producer failures to the consumer

@@ -114,6 +114,17 @@ def feed_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def epoch_feed_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding to constrain image-like batches gathered ON DEVICE inside a
+    resident epoch scan (data/resident.py `batch_sharding=`): batch on the
+    data axis and, on a 2-D mesh, H on the spatial axis — so the per-step
+    work inside the one-dispatch epoch uses the whole mesh instead of
+    leaving the spatial axis idle."""
+    if SPATIAL_AXIS in mesh.shape:
+        return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
 def shard_feed(batch: dict, mesh: Mesh) -> dict:
     """device_put every array in a feed dict with its feed_sharding."""
     return {k: (jax.device_put(v, feed_sharding(mesh, np.ndim(v)))

@@ -272,3 +272,44 @@ def test_csf_cli_train_native_mesh_shape_fallback(csf_root, tmp_path):
     fallback = [l for l in logs if "replicating instead of" in l]
     assert len(fallback) == 1, logs  # warned once per distinct H
     assert "H=64" in fallback[0]
+
+
+def test_csf_cli_test_mesh_shape_2d(csf_root, tmp_path):
+    """--mesh_shape in test mode: batched dispatches shard over the 2-D
+    mesh (per-shape GSPMD validity check; these <96px images take the
+    data-only fallback branch) and the written maps are bit-identical to
+    the plain B=1 loop."""
+    from cli.csf import run_csf_test, run_csf_train
+
+    config = types.SimpleNamespace(
+        lr=5e-5, wd=5e-4, pretrained_model="", epoch=1, batch_size=2,
+        load="", save_folder=str(tmp_path / "out"), epoch_save=1, iter_size=2,
+        show_every=2, train_root=str(csf_root),
+        train_list=str(csf_root / "train.lst"), arch="res2net50",
+        image_size=48,
+    )
+    os.makedirs(config.save_folder)
+    out = run_csf_train(config, log=lambda *a, **k: None)
+    config.model = os.path.join(out["save_folder"], "models", "final.pth")
+    config.test_root = str(csf_root)
+    config.test_list = str(csf_root / "test.lst")
+
+    config.test_fold = str(tmp_path / "maps_plain")
+    config.test_batch = 1
+    run_csf_test(config, log=lambda *a, **k: None)
+
+    logs: list[str] = []
+    config.test_fold = str(tmp_path / "maps_mesh")
+    config.test_batch = 2
+    config.mesh_shape = "2x2"
+    run_csf_test(config, log=lambda *a, **k: logs.append(
+        " ".join(str(x) for x in a)))
+    assert any("2-D mesh" in l for l in logs), logs
+
+    plain = sorted(os.listdir(tmp_path / "maps_plain"))
+    meshed = sorted(os.listdir(tmp_path / "maps_mesh"))
+    assert plain == meshed and len(plain) == 4
+    for name in plain:
+        a = (tmp_path / "maps_plain" / name).read_bytes()
+        b = (tmp_path / "maps_mesh" / name).read_bytes()
+        assert a == b, name

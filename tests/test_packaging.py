@@ -60,7 +60,7 @@ def test_bench_check_compare_logic():
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
-        "bench_check", "/root/repo/tools/bench_check.py")
+        "bench_check", os.path.join(REPO, "tools", "bench_check.py"))
     bc = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bc)
 
@@ -79,6 +79,6 @@ def test_bench_check_compare_logic():
     # every guarded metric has a recorded reference
     import json
 
-    ref = json.load(open("/root/repo/tools/bench_reference.json"))
+    ref = json.load(open(os.path.join(REPO, "tools", "bench_reference.json")))
     for m in bc.GUARDED_EXTRAS:
         assert m in ref, m

@@ -314,3 +314,74 @@ def test_orbax_round_trip_with_sharded_arrays(tmp_path):
     np.testing.assert_array_equal(np.asarray(r["trainable"]["w"]),
                                   np.arange(8.0).reshape(2, 4))
     np.testing.assert_array_equal(np.asarray(r["opt_state"]["mu"]), np.ones(2))
+
+
+def test_resident_epoch_2d_sharded_matches_unsharded():
+    """The one-dispatch resident epoch with a 2-D data x spatial
+    batch_sharding (mesh.epoch_feed_sharding — what the drivers now pass
+    under TPU.MESH_SHAPE) must reproduce the unsharded epoch: same per-step
+    losses/penalties and the same final params through on-device gather ->
+    augment -> train-step under H-partitioning.
+
+    32px steps are guard-safe for CSNet (deepest stride-2 conv input is
+    32/4 = 8 rows >= parallel.mesh.MIN_STRIDE2_INPUT)."""
+    from sod100k_tpu.data.resident import make_resident_epoch_fn
+    from sod100k_tpu.parallel.mesh import check_spatial_extent, epoch_feed_sharding
+    from sod100k_tpu.train.optim import make_adam_dwd
+    from sod100k_tpu.train.params import partition
+    from sod100k_tpu.train.step import make_train_step
+
+    check_spatial_extent(32, 4, 2, "CSNet")
+    rng = np.random.default_rng(9)
+    bs = 4
+    # exactly one batch (nb=1): a multi-step epoch diverges CHAOTICALLY
+    # between shard layouts on this dialect — step 1's ~1e-6 reduction-order
+    # noise is a ~1e-4 effective-weight shift through the x100 convs, which
+    # moves step 2's activations/BN statistics at the 1e-2 level (measured).
+    # One step pins the whole gather -> augment -> train-step program with
+    # step-oracle-tight tolerances; more steps only add noise, not power.
+    rdata = {
+        "image_u8": jnp.asarray(rng.integers(
+            0, 255, (bs, 40, 40, 3), dtype=np.uint8)),
+        "gt_u8": jnp.asarray(rng.integers(
+            0, 255, (bs, 40, 40), dtype=np.uint8)),
+    }
+    outs = []
+    for sharded in (False, True):
+        params = csnet_init(jax.random.key(6), LC)
+        trainable, state = partition(params)
+        tx = make_adam_dwd(trainable)
+        opt = tx.init(trainable)
+        step = make_train_step(LC, tx, flops_weight=3.0, batch_size=bs,
+                               donate=False)
+        bsh, rd = None, rdata
+        if sharded:
+            mesh = Mesh(np.array(jax.devices())[:4].reshape(2, 2),
+                        ("data", "spatial"))
+            assert epoch_feed_sharding(mesh).spec == P("data", "spatial")
+            bsh = epoch_feed_sharding(mesh)
+            repl = NamedSharding(mesh, P())
+            trainable, state, opt = (
+                jax.tree.map(lambda a: jax.device_put(a, repl), t)
+                for t in (trainable, state, opt))
+            rd = jax.tree.map(lambda a: jax.device_put(a, repl), rdata)
+        epoch_fn = make_resident_epoch_fn(step, batch_size=bs,
+                                          out_hw=(32, 32), batch_sharding=bsh)
+        t, s, o, losses, pens = epoch_fn(
+            trainable, state, opt, rd, jax.random.key(3),
+            jnp.float32(1e-4), jnp.float32(1.0))
+        outs.append((np.asarray(losses), np.asarray(pens), t, s))
+    # single-step losses match to ~1e-7 (cross-device reduction order only);
+    # the failure mode this oracle exists to catch (the GSPMD strided-conv
+    # bug) shows ~0.4 rel errors
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-4)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-4)
+    for which in (2, 3):  # final params, BN state
+        for a, b in zip(jax.tree.leaves(outs[0][which]),
+                        jax.tree.leaves(outs[1][which])):
+            # reduction-order noise, Adam-rsqrt amplified (same tolerance
+            # rationale as the 2-D step oracle above)
+            b = np.asarray(b)
+            np.testing.assert_allclose(
+                np.asarray(a), b,
+                atol=1e-3 * max(1.0, float(np.abs(b).max())))

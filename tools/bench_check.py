@@ -2,8 +2,10 @@
 
 Usage:
   python tools/bench_check.py                # run bench.py, compare flagship
-  python tools/bench_check.py --extras       # also regenerate the fast
+  python tools/bench_check.py --extras       # also regenerate the guarded
                                              # bench_extras rows and compare
+                                             # (only THIS run's fresh
+                                             # entries, never stale file rows)
   python tools/bench_check.py --extras-json bench_extras.json
                                              # compare an already-fresh file
   python tools/bench_check.py --tolerance 0.15
@@ -114,19 +116,33 @@ def main() -> None:
     print(f"bench.py: {b['metric']} = {b['value']}")
 
     extras_path = args.extras_json
+    rows = None
     if args.extras and not extras_path:
-        subprocess.run(
+        # compare ONLY this run's regenerated entries (bench_extras prints
+        # them as a JSON list on stdout) — never the merged bench_extras.json,
+        # whose rows for skipped sections are stale recordings, not fresh
+        # measurements. --skip-e2e-test drops the only sections with no
+        # guarded row (JPEG/PNG host-codec e2e, slow and tunnel-bound).
+        out = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "bench_extras.py"),
-             "--skip-e2e-test", "--skip-val"], cwd=REPO, check=True)
-        extras_path = os.path.join(REPO, "bench_extras.json")
-    if extras_path:
+             "--skip-e2e-test"], cwd=REPO, check=True,
+            stdout=subprocess.PIPE, text=True)
+        for line in reversed(out.stdout.strip().splitlines()):
+            if line.startswith("["):
+                rows = {e["metric"]: float(e["value"])
+                        for e in json.loads(line)}
+                break
+        if rows is None:
+            raise SystemExit("bench_extras.py printed no JSON entry list")
+    elif extras_path:
         rows = {e["metric"]: float(e["value"])
                 for e in json.load(open(extras_path))["entries"]}
+    if rows is not None:
         for m in GUARDED_EXTRAS:
             if m in rows:
                 fresh[m] = rows[m]
             else:
-                print(f"WARN {m}: not present in {extras_path}")
+                print(f"WARN {m}: not regenerated — not compared")
 
     if args.record:
         merged = {**ref, **fresh}
