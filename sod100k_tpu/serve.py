@@ -122,12 +122,27 @@ class ServingModel:
     image, padding discarded), the largest bucket handles overflow in
     chunks. Spatial dims must match the export exactly."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, mesh_devices: int | None = None):
+        """mesh_devices: serve data-parallel over a 1-D device mesh —
+        None/1 = single device (default), 0 = all visible devices, N = the
+        first N. Exported programs are re-traceable, so GSPMD partitions the
+        baked-constants forward under a batch in_sharding (verified
+        bit-exact vs single-device in tests/test_serve.py); buckets not
+        divisible by the device count stay single-device."""
         from jax import export as jexport
 
         with open(os.path.join(path, "meta.json")) as f:
             self.meta = json.load(f)
         self.batches = sorted(self.meta.get("batches", [self.meta["batch"]]))
+        ndev = 1
+        if mesh_devices is not None:
+            ndev = min(mesh_devices or len(jax.devices()), len(jax.devices()))
+        self._batch_sharding = None
+        if ndev > 1:
+            from .parallel.mesh import batch_sharding, make_mesh
+
+            self._batch_sharding = batch_sharding(make_mesh(ndev))
+            self._mesh_devices = ndev
         # version-skew guard: check the exporter's calling-convention
         # version against this runtime's supported range BEFORE touching the
         # serialized bytes, so an incompatible artifact fails with a clear
@@ -160,7 +175,11 @@ class ServingModel:
                     f"{exporter}, this runtime is jax {jax.__version__}): "
                     f"{e}; if the versions differ, re-export the artifact "
                     f"with this runtime's jax") from e
-            self._jitted[b] = jax.jit(self._exp.call)
+            if self._batch_sharding is not None and b % self._mesh_devices == 0:
+                self._jitted[b] = jax.jit(
+                    self._exp.call, in_shardings=(self._batch_sharding,))
+            else:
+                self._jitted[b] = jax.jit(self._exp.call)
 
     @property
     def input_shape(self) -> tuple[int, int, int, int]:
@@ -198,5 +217,5 @@ class ServingModel:
         return np.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
-def load_artifact(path: str) -> ServingModel:
-    return ServingModel(path)
+def load_artifact(path: str, mesh_devices: int | None = None) -> ServingModel:
+    return ServingModel(path, mesh_devices=mesh_devices)

@@ -132,3 +132,34 @@ def test_artifact_version_skew_message(tmp_path):
         f.write(b"not a stablehlo payload")
     with pytest.raises(RuntimeError, match="9.9.9"):
         load_artifact(out)
+
+
+def test_serving_artifact_data_parallel_mesh(tmp_path):
+    """load_artifact(mesh_devices=N) serves the exported program
+    data-parallel: GSPMD re-partitions the baked-constants forward under a
+    batch in_sharding, bit-exact vs the single-device path. Buckets not
+    divisible by the device count stay single-device (the b=3 bucket)."""
+    lc = init_layers(8, [0.5, 0.5])
+    params = csnet_init(jax.random.key(0), lc)
+    # scale down: an untrained x100-conv model explodes in eval mode
+    params = jax.tree.map(lambda a: a * 0.02, params)
+    out = export_artifact(str(tmp_path / "art"), "csnet", params, lc,
+                          batch=[3, 8], hw=(48, 48), dtype=jnp.float32)
+
+    single = load_artifact(out)
+    dp = load_artifact(out, mesh_devices=4)
+    assert dp._batch_sharding is not None
+
+    rng = np.random.default_rng(1)
+    for n in (8, 3, 11):  # full bucket, odd bucket, chunked overflow
+        x = rng.standard_normal((n, 48, 48, 3)).astype(np.float32)
+        a, b = single(x), dp(x)
+        assert np.isfinite(a).all()
+        np.testing.assert_array_equal(a, b)
+
+    # the sharded bucket really executes over the mesh
+    y = dp._jitted[8](jnp.zeros((8, 48, 48, 3), jnp.float32))
+    assert len(y.sharding.device_set) == 4
+    # the indivisible bucket stays single-device
+    y3 = dp._jitted[3](jnp.zeros((3, 48, 48, 3), jnp.float32))
+    assert len(y3.sharding.device_set) == 1
