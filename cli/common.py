@@ -10,15 +10,12 @@ files (csnet.py:541-568).
 from __future__ import annotations
 
 import os
-import sys
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sod100k_tpu.arch.csnet import count_params, csnet_init
 from sod100k_tpu.arch.layer_config import LayerConfig, init_layers
 from sod100k_tpu.interop.torch_ckpt import (
     load_checkpoint,

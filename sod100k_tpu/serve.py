@@ -138,11 +138,11 @@ class ServingModel:
         if mesh_devices is not None:
             ndev = min(mesh_devices or len(jax.devices()), len(jax.devices()))
         self._batch_sharding = None
+        self._mesh_devices = ndev
         if ndev > 1:
             from .parallel.mesh import batch_sharding, make_mesh
 
             self._batch_sharding = batch_sharding(make_mesh(ndev))
-            self._mesh_devices = ndev
         # version-skew guard: check the exporter's calling-convention
         # version against this runtime's supported range BEFORE touching the
         # serialized bytes, so an incompatible artifact fails with a clear

@@ -313,3 +313,25 @@ def test_csf_cli_test_mesh_shape_2d(csf_root, tmp_path):
         a = (tmp_path / "maps_plain" / name).read_bytes()
         b = (tmp_path / "maps_mesh" / name).read_bytes()
         assert a == b, name
+
+
+def test_csf_cli_train_resident_mesh_shape_2d(csf_root, tmp_path):
+    """--preprocess resident + --mesh_shape: the one-dispatch epoch scans
+    run with gathered batches constrained data x spatial
+    (mesh.epoch_feed_sharding) — the driver path for the small-batch 2-D
+    scale-out story. 96px is the smallest CSF-safe spatial-sharding size
+    (deepest stride-2 input = 96/16 = 6 rows)."""
+    from cli.csf import run_csf_train
+
+    config = types.SimpleNamespace(
+        lr=5e-5, wd=5e-4, pretrained_model="", epoch=1, batch_size=2,
+        load="", save_folder=str(tmp_path / "out"), epoch_save=1, iter_size=2,
+        show_every=2, train_root=str(csf_root),
+        train_list=str(csf_root / "train.lst"), arch="res2net50",
+        image_size=96, mesh_shape="2x2", preprocess="resident",
+    )
+    os.makedirs(config.save_folder)
+    out = run_csf_train(config, log=lambda *a, **k: None)
+    assert all(np.isfinite(v) for v in out["losses"])
+    assert os.path.exists(os.path.join(out["save_folder"], "models",
+                                       "final.pth"))
