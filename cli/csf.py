@@ -52,10 +52,8 @@ from sod100k_tpu.train.params import merge
 from .common import save_torch_checkpoint
 
 LR_DECAY_EPOCH = (15,)  # solver.py:24
-# the reference CSF gOctConv names its dense weight `weights` (gOctConv.py:21);
-# rename on save so reference tooling loads our checkpoints strictly
-CSF_SAVE_RENAME = {"fuse.conv.weight": "fuse.conv.weights",
-                   "fuse1x1.conv.weight": "fuse1x1.conv.weights"}
+# (the CSF gOctConv plural-`weights` naming is handled inside
+# interop.pytree_to_state_dict — no per-call rename needed)
 
 
 def get_test_info(sal_mode: str = "e") -> tuple[str, str]:
@@ -224,8 +222,7 @@ def run_csf_train(config, log=print) -> dict:
                                  f"epoch_{epoch + 1}.pth"),
                     merge(jax.tree.map(np.asarray, trainable),
                           jax.tree.map(np.asarray, state)),
-                    epoch=epoch + 1, arch=f"csf_{config.arch}",
-                    rename=CSF_SAVE_RENAME)
+                    epoch=epoch + 1, arch=f"csf_{config.arch}")
             if epoch in LR_DECAY_EPOCH:
                 lr = lr * 0.1
                 opt_state = tx.init(trainable)  # reference re-creates Adam
@@ -233,8 +230,7 @@ def run_csf_train(config, log=print) -> dict:
             os.path.join(save_folder, "models", "final.pth"),
             merge(jax.tree.map(np.asarray, trainable),
                   jax.tree.map(np.asarray, state)),
-            epoch=config.epoch, arch=f"csf_{config.arch}",
-            rename=CSF_SAVE_RENAME)
+            epoch=config.epoch, arch=f"csf_{config.arch}")
         return {"save_folder": save_folder, "losses": losses}
 
     warned_h: set = set()  # unsafe-H buckets already logged (once per H)
@@ -293,8 +289,7 @@ def run_csf_train(config, log=print) -> dict:
                 os.path.join(save_folder, "models", f"epoch_{epoch + 1}.pth"),
                 merge(jax.tree.map(np.asarray, trainable),
                       jax.tree.map(np.asarray, state)),
-                epoch=epoch + 1, arch=f"csf_{config.arch}",
-                rename=CSF_SAVE_RENAME)
+                epoch=epoch + 1, arch=f"csf_{config.arch}")
         if epoch in LR_DECAY_EPOCH:
             lr = lr * 0.1
             opt_state = tx.init(trainable)  # reference re-creates Adam
@@ -303,8 +298,7 @@ def run_csf_train(config, log=print) -> dict:
         os.path.join(save_folder, "models", "final.pth"),
         merge(jax.tree.map(np.asarray, trainable),
               jax.tree.map(np.asarray, state)),
-        epoch=config.epoch, arch=f"csf_{config.arch}",
-        rename=CSF_SAVE_RENAME)
+        epoch=config.epoch, arch=f"csf_{config.arch}")
     return {"save_folder": save_folder, "losses": losses}
 
 

@@ -86,10 +86,20 @@ def state_dict_to_pytree(state_dict: dict[str, Any], dtype=np.float32) -> dict:
     return params
 
 
+# The CSF gOctConv names its dense weight `weights` (gOctConv.py:21). These
+# exact module paths exist only at the top level of the CSF model (CSNet's
+# head lives under `oct_fuse.`), so the inverse conversion emits the plural
+# form for them — keeping pytree_to_state_dict a true inverse for CSF trees
+# (a strict reference load would otherwise leave fuse/fuse1x1 at random
+# init with no error under the reference's strict=False style).
+_CSF_PLURAL_WEIGHT_MODULES = ("fuse.conv", "fuse1x1.conv")
+
+
 def pytree_to_state_dict(params: dict) -> dict:
     """Convert our pytree back to a reference-layout state_dict (numpy values).
 
-    Inverse of :func:`state_dict_to_pytree`; BN ``num_batches_tracked`` entries
+    Inverse of :func:`state_dict_to_pytree` (including the CSF gOctConv
+    plural-``weights`` naming); BN ``num_batches_tracked`` entries
     are not synthesized (the reference loads with them present but they do not
     affect inference).
     """
@@ -104,7 +114,9 @@ def pytree_to_state_dict(params: dict) -> dict:
                 continue
             arr = np.asarray(v)
             if k == "kernel":
-                flat[f"{prefix}.weight" if prefix else "weight"] = (
+                wname = ("weights" if prefix in _CSF_PLURAL_WEIGHT_MODULES
+                         else "weight")
+                flat[f"{prefix}.{wname}" if prefix else wname] = (
                     arr.transpose(3, 2, 0, 1)
                 )
             elif k == "alpha":

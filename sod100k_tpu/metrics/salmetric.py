@@ -85,6 +85,14 @@ def _e_measure_from_counts(tp, a, b, n):
     alignment matrix phi = 2*dF*dG / (dF^2 + dG^2) takes four values weighted
     by (TP, FP, FN, TN) — the full spatial computation collapses onto the
     histogram counts already gathered for precision/recall.
+
+    Degenerate GT takes the official special cases (Fan et al.'s released
+    code / PySODMetrics): all-background GT scores the prediction's
+    background fraction (perfect prediction -> 1, inverted -> 0) and
+    all-foreground GT its foreground fraction — the general closed form
+    would otherwise collapse to a prediction-independent constant 1/4
+    (dG == 0 kills the alignment term identically). We normalize by n
+    (valid pixels) rather than the official n-1; the difference is O(1/n).
     """
     eps = 1e-12
     mu_f = a / n
@@ -101,7 +109,11 @@ def _e_measure_from_counts(tp, a, b, n):
              + fp * enhanced(1 - mu_f, -mu_g)
              + fn * enhanced(-mu_f, 1 - mu_g)
              + tn * enhanced(-mu_f, -mu_g))
-    return e_sum / n
+    e_general = e_sum / n
+    e_empty_gt = (n - a) / n   # prediction's background pixel fraction
+    e_full_gt = a / n          # prediction's foreground pixel fraction
+    return jnp.where(b == 0, e_empty_gt,
+                     jnp.where(b == n, e_full_gt, e_general))
 
 
 class SalMetricAccumulator:

@@ -266,14 +266,10 @@ def ms_block(
                    weight_scale=100.0 if x100 else 1.0)
         )
     y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
-    if norm == "gn":
-        y = groupnorm(y, params["bn"])
-    elif ctx.train:
-        y, stats = batchnorm_train(y, params["bn"])
-        ctx.bn_stats[f"{path}.bn"] = stats
-    else:
-        y = batchnorm_infer(y, params["bn"])
-    return prelu(y, params["prelu"]["alpha"])
+    # shared norm+PReLU path (identical bn_stats key; the gap entry norm_act
+    # records under collect_gap has no flop weight, so penalty() ignores it)
+    return ctx.norm_act(f"{path}.bn", params["bn"],
+                        params["prelu"]["alpha"], y, norm=norm)
 
 
 def pall_ms_block(

@@ -68,11 +68,10 @@ def test_csf_matches_reference_torch():
     from networks.csf_res2net import CSFNet
 
     params = csf_init(jax.random.key(2))
+    # interop emits the CSF gOctConv plural `weights` naming itself
+    # (gOctConv.py:21; torch_ckpt._CSF_PLURAL_WEIGHT_MODULES)
     sd = pytree_to_state_dict(params)
-    # the CSF gOctConv names its dense weight `weights` (gOctConv.py:21)
-    for k in list(sd):
-        if k in ("fuse.conv.weight", "fuse1x1.conv.weight"):
-            sd[k.replace(".weight", ".weights")] = sd.pop(k)
+    assert "fuse.conv.weights" in sd and "fuse1x1.conv.weights" in sd
     model = CSFNet()
     res = model.load_state_dict(
         {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}, strict=False)

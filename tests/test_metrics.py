@@ -160,6 +160,13 @@ def test_e_measure_matches_spatial_definition():
     def direct_e(sal, gt, th):
         fm = (sal.astype(np.float64) > th).astype(np.float64)
         g = (gt.astype(np.float64) > 128).astype(np.float64)
+        # official degenerate-GT special cases (Fan et al. released code /
+        # PySODMetrics): the alignment formula is prediction-independent
+        # when dG == 0
+        if g.sum() == 0:
+            return (1.0 - fm).mean()
+        if g.sum() == g.size:
+            return fm.mean()
         dfm = fm - fm.mean()
         dg = g - g.mean()
         align = 2 * dfm * dg / (dfm**2 + dg**2 + 1e-12)
@@ -320,3 +327,37 @@ def test_eval_backends_agree_on_dirty_pairs(tmp_path):
     for k in ("max_f", "mae", "mean_f", "mean_precision", "mean_recall"):
         assert d[k] == pytest.approx(n[k], abs=1e-5), (k, d[k], n[k])
     assert len(n["fmeasure"]) == 256  # native carries the full F curve too
+
+
+def test_e_measure_degenerate_gt_special_cases():
+    """Official E-measure semantics for degenerate GT (Fan et al.'s released
+    code / PySODMetrics): an all-background GT scores the prediction's
+    background fraction and an all-foreground GT its foreground fraction —
+    NOT the prediction-independent 1/4 the closed form alone would give
+    (dG == 0 kills the alignment term)."""
+    h, w = 17, 23
+    zeros = np.zeros((h, w), np.float32)
+    full = np.full((h, w), 255.0, np.float32)
+
+    def em(sal, gt):
+        acc = SalMetricAccumulator()
+        acc.update_batch(sal[None], gt[None])
+        return acc.result()["emeasure"]
+
+    # empty GT: perfect prediction (all background) -> 1 at every threshold
+    np.testing.assert_allclose(em(zeros, zeros), 1.0)
+    # empty GT: worst prediction (all foreground) -> 0 below saturation
+    e = em(full, zeros)
+    assert np.all(e[:255] == 0.0) and e[255] == 1.0  # sal > 255 is empty
+    # full-fg GT: perfect prediction -> 1 below saturation
+    e = em(full, full)
+    assert np.all(e[:255] == 1.0) and e[255] == 0.0
+    # full-fg GT: worst prediction -> 0
+    np.testing.assert_allclose(em(zeros, full), 0.0)
+
+    # a half-covered prediction on empty GT scores its background fraction
+    half = np.zeros((h, w), np.float32)
+    half[: h // 2] = 255.0
+    frac_bg = 1.0 - (h // 2) * w / (h * w)
+    np.testing.assert_allclose(em(half, zeros)[:255],
+                               frac_bg, rtol=1e-6)

@@ -536,14 +536,13 @@ def bench_csf_e2e_test(entries: list, data_root: str) -> None:
 
     # random-init weights are fine for a speed protocol (same FLOPs)
     from cli.common import save_torch_checkpoint
-    from cli.csf import CSF_SAVE_RENAME
     from sod100k_tpu.arch.csf_res2net import csf_init
 
     ck = os.path.join(root, "init.pth")
     if not os.path.exists(ck):
         p = csf_init(jax.random.key(0), backbone="res2net50")
         save_torch_checkpoint(ck, jax.tree.map(np.asarray, p), epoch=0,
-                              arch="csf_res2net50", rename=CSF_SAVE_RENAME)
+                              arch="csf_res2net50")
 
     for tb in (1, 16):
         config = types.SimpleNamespace(
