@@ -99,6 +99,9 @@ def _load_params(config, log=print):
 
 
 def run_csf_train(config, log=print) -> dict:
+    from .common import enable_compile_cache
+
+    enable_compile_cache()
     run = 0
     while os.path.exists(os.path.join(config.save_folder, f"run-{run}")):
         run += 1
@@ -180,6 +183,13 @@ def run_csf_train(config, log=print) -> dict:
         if not config.image_size:
             raise SystemExit("--preprocess resident needs a fixed "
                              "--image_size (e.g. 336)")
+        if len(dataset) < config.batch_size:
+            # nb = len//batch would be 0: every epoch would scan ZERO steps
+            # and still write checkpoints — fail loudly like cli.train
+            raise SystemExit(
+                f"--preprocess resident needs at least one full batch: "
+                f"dataset has {len(dataset)} images < --batch_size "
+                f"{config.batch_size}")
         from sod100k_tpu.data.resident import (
             build_resident_dataset,
             make_resident_csf_epoch_fn,
@@ -198,10 +208,13 @@ def run_csf_train(config, log=print) -> dict:
             step_nd, batch_size=config.batch_size,
             batch_sharding=(epoch_feed_sharding(mesh)
                             if bsh is not None else None))
+        # upload straight to the replicated placement (no transient
+        # device-0 copy of the multi-GB store on a multi-device mesh)
+        from sod100k_tpu.parallel.mesh import replicated
+
         rdata = build_resident_dataset(
-            dataset, store_hw=(config.image_size, config.image_size))
-        if bsh is not None:
-            rdata = replicate(rdata, mesh)  # uint8 store on every device
+            dataset, store_hw=(config.image_size, config.image_size),
+            sharding=replicated(mesh) if bsh is not None else None)
         nbytes = sum(v.nbytes for v in rdata.values())
         log(f"resident CSF dataset: {len(dataset)} images at "
             f"{config.image_size}^2 = {nbytes / 2**20:.0f} MiB in HBM")
@@ -241,7 +254,8 @@ def run_csf_train(config, log=print) -> dict:
                                     seed=epoch)
         else:
             it = padded_batches(dataset, config.batch_size, seed=epoch)
-        r_loss, i = 0.0, 0
+        i = 0
+        pending: list = []  # unread device loss scalars (async dispatch)
         for batch in it:
             nb = next(iter(batch.values())).shape[0]
             shardable = bsh is not None and nb % mesh.shape["data"] == 0
@@ -277,13 +291,17 @@ def run_csf_train(config, log=print) -> dict:
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
             trainable, opt_state, m = step(trainable, state, opt_state, batch,
                                            jnp.float32(lr))
-            r_loss += float(m["loss"])
+            # defer the loss readback to the show boundary: float(...) is a
+            # blocking value read (~35 ms RPC on the axon tunnel, more than
+            # the 24 ms bf16 step itself) and would serialize dispatch
+            pending.append(m["loss"])
             i += 1
             if i % max(config.show_every // config.batch_size, 1) == 0:
+                r_loss = float(jnp.stack(pending).sum())
+                pending.clear()
                 log(f"epoch: [{epoch}/{config.epoch}] iter [{i}] || "
                     f"Sal : {r_loss:.4f}  lr {lr}")
                 losses.append(r_loss)
-                r_loss = 0.0
         if (epoch + 1) % config.epoch_save == 0:
             save_torch_checkpoint(
                 os.path.join(save_folder, "models", f"epoch_{epoch + 1}.pth"),

@@ -52,6 +52,9 @@ from .common import (
 
 def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
                  log=None) -> dict:
+    from .common import enable_compile_cache
+
+    enable_compile_cache()
     dirs = resolve_dirs(cfg)
     log = log or Logger(dirs["base"], "logfinetune", dirs["task"])
 
@@ -79,7 +82,10 @@ def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
         tx = make_adam(weight_decay=sol.WEIGHT_DECAY)
     opt_state = tx.init(trainable)
 
-    preprocess = cfg.TPU.PREPROCESS
+    preprocess = cfg.TPU.PREPROCESS  # "host" | "hybrid" | "device" | "resident"
+    if preprocess not in ("host", "hybrid", "device", "resident"):
+        raise SystemExit(f"TPU.PREPROCESS must be host|hybrid|device|resident, "
+                         f"got {preprocess!r}")
     hybrid = preprocess == "hybrid"
     step = make_train_step(lc, tx, flops_weight=0.0,
                            batch_size=cfg.DATA.BATCH_SIZE,
@@ -169,7 +175,15 @@ def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
             log(f"FtEpoch: [{epoch + 1}][{nb} steps, one dispatch]\t"
                 f"Loss {float(loss_arr[-1]):.4f}")
         else:
-            if hybrid:
+            if preprocess == "device":
+                # host decodes uint8 only; crop/flip/resize/normalize run as
+                # one jitted device program (same front-end as cli.train)
+                from sod100k_tpu.data.pipeline import raw_batches
+
+                it = raw_batches(train_ds, cfg.DATA.BATCH_SIZE, shuffle=True,
+                                 seed=cfg.TPU.SEED + epoch,
+                                 num_threads=cfg.DATA.WORKERS)
+            elif hybrid:
                 # same uint8 host aug/resize + fused normalize as cli.train
                 it = hybrid_batches(train_ds, cfg.DATA.BATCH_SIZE,
                                     shuffle=True, seed=cfg.TPU.SEED + epoch,
@@ -179,11 +193,23 @@ def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
                              seed=cfg.TPU.SEED + epoch,
                              num_threads=cfg.DATA.WORKERS)
             nb = 0
+            aug_key = jax.random.key(cfg.TPU.SEED * 1_000_003 + epoch)
             for batch in device_prefetch(it, mesh=mesh):
-                feed = ({"image": batch["image_u8"],
-                         "target": batch["target_u8"]}
-                        if hybrid else
-                        {"image": batch["image"], "target": batch["target"]})
+                if preprocess == "device":
+                    from sod100k_tpu.data.device_pipeline import (
+                        preprocess_train_batch,
+                    )
+
+                    feed = preprocess_train_batch(
+                        batch["image_u8"], batch["gt_u8"], batch["valid_hw"],
+                        jax.random.fold_in(aug_key, nb),
+                        out_hw=(cfg.DATA.IMAGE_H, cfg.DATA.IMAGE_W))
+                else:
+                    feed = ({"image": batch["image_u8"],
+                             "target": batch["target_u8"]}
+                            if hybrid else
+                            {"image": batch["image"],
+                             "target": batch["target"]})
                 trainable, state, opt_state, m = step(
                     trainable, state, opt_state, feed,
                     jnp.float32(lr), jnp.float32(0.0),

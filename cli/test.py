@@ -251,11 +251,14 @@ def run_testall_resident(cfg, log=print) -> dict:
         sd = SalData(os.path.join(cfg.TEST.DATASET_PATH, ds),
                      (cfg.TEST.IMAGE_H, cfg.TEST.IMAGE_W), mode="val",
                      cache=cfg.TPU.DATA_CACHE)
+        from sod100k_tpu.parallel.mesh import replicated
+
+        # upload straight to the replicated placement (no transient
+        # device-0 copy of the store on a multi-device mesh)
         data = build_resident_val_dataset(
-            sd, (cfg.TEST.IMAGE_H, cfg.TEST.IMAGE_W), batch)
+            sd, (cfg.TEST.IMAGE_H, cfg.TEST.IMAGE_W), batch,
+            sharding=replicated(mesh) if bsh is not None else None)
         canvas_hw = data.pop("_canvas_hw")
-        if bsh is not None:
-            data = replicate(data, mesh)
         splits[ds] = (data, make_resident_salmetric_fn(
             eval_step, batch_size=batch, canvas_hw=canvas_hw,
             batch_sharding=bsh))

@@ -307,7 +307,7 @@ def batches(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=num_threads) as pool:
+    with ThreadPoolExecutor(max_workers=max(num_threads, 1)) as pool:
         for b in range(n_full):
             idxs = order[b * batch_size:(b + 1) * batch_size]
             samples = list(pool.map(dataset.__getitem__, idxs))
@@ -349,7 +349,7 @@ def hybrid_batches(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=num_threads) as pool:
+    with ThreadPoolExecutor(max_workers=max(num_threads, 1)) as pool:
         for b in range(n_full):
             idxs = order[b * batch_size:(b + 1) * batch_size]
             samples = list(pool.map(dataset.hybrid_item, idxs))
@@ -367,6 +367,7 @@ def raw_batches(
     num_threads: int = 4,
     pad_multiple: int = 64,
     group_by_aspect: bool = True,
+    crop_margin: int = 15,
 ) -> Iterator[dict]:
     """Decode-only epoch iterator for the device front-end.
 
@@ -411,7 +412,7 @@ def raw_batches(
     def up(v: int) -> int:
         return max(int(math.ceil(v / pad_multiple) * pad_multiple), pad_multiple)
 
-    with ThreadPoolExecutor(max_workers=num_threads) as pool:
+    with ThreadPoolExecutor(max_workers=max(num_threads, 1)) as pool:
         for b in range(n_full):
             idxs = order[b * batch_size:(b + 1) * batch_size]
             samples = list(pool.map(dataset.raw_item, idxs))
@@ -423,6 +424,14 @@ def raw_batches(
             hws = np.zeros((n, 2), np.int32)
             for i, s in enumerate(samples):
                 h, w = int(s["hw"][0]), int(s["hw"][1])
+                if h <= crop_margin * 2 or w <= crop_margin * 2:
+                    # the same guard the host Augment applies
+                    # (prepare_data.py:26-88 semantics): on device the crop
+                    # math cannot raise data-dependently and would silently
+                    # emit a degenerate gather instead
+                    raise ValueError(
+                        f"Image size too small for augmentation: {h}x{w} vs "
+                        f"crop margins {crop_margin}/{crop_margin}")
                 imgs[i, :h, :w] = s["image_u8"]
                 gts[i, :h, :w] = s["gt_u8"]
                 hws[i] = (h, w)

@@ -119,10 +119,8 @@ def epoch_feed_sharding(mesh: Mesh) -> NamedSharding:
     resident epoch scan (data/resident.py `batch_sharding=`): batch on the
     data axis and, on a 2-D mesh, H on the spatial axis — so the per-step
     work inside the one-dispatch epoch uses the whole mesh instead of
-    leaving the spatial axis idle."""
-    if SPATIAL_AXIS in mesh.shape:
-        return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
-    return NamedSharding(mesh, P(DATA_AXIS))
+    leaving the spatial axis idle. Exactly the image-like feed_sharding."""
+    return feed_sharding(mesh, 3)
 
 
 def shard_feed(batch: dict, mesh: Mesh) -> dict:

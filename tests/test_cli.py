@@ -324,3 +324,22 @@ def test_cli_finetune_resident_mode(cfg, trained):
     assert np.isfinite(out["best_mae"])
     assert os.path.exists(os.path.join(out["ft_dir"],
                                        "checkpoint_epoch1.pth.tar"))
+
+
+def test_cli_finetune_device_mode(cfg, trained):
+    """TPU.PREPROCESS=device in cli.finetune runs the on-device front-end
+    (decode-only host -> jitted crop/flip/resize/normalize), same as
+    cli.train — it used to silently fall back to the host float pipeline."""
+    import pytest
+
+    from cli.finetune import run_finetune
+
+    c = cfg.clone()
+    c.TPU.PREPROCESS = "device"
+    out = run_finetune(c, from_epoch=2, max_epochs=1,
+                       log=lambda *a, **k: None)
+    assert np.isfinite(out["best_mae"])
+
+    c.TPU.PREPROCESS = "nonsense"
+    with pytest.raises(SystemExit, match="host|hybrid|device|resident"):
+        run_finetune(c, from_epoch=2, max_epochs=1, log=lambda *a, **k: None)

@@ -335,3 +335,23 @@ def test_csf_cli_train_resident_mesh_shape_2d(csf_root, tmp_path):
     assert all(np.isfinite(v) for v in out["losses"])
     assert os.path.exists(os.path.join(out["save_folder"], "models",
                                        "final.pth"))
+
+
+def test_csf_resident_rejects_undersized_dataset(csf_root, tmp_path):
+    """--preprocess resident with batch_size > dataset size used to scan
+    ZERO steps per epoch and still write checkpoints; now it fails loudly
+    like cli.train's resident guard."""
+    import pytest
+
+    from cli.csf import run_csf_train
+
+    config = types.SimpleNamespace(
+        lr=5e-5, wd=5e-4, pretrained_model="", epoch=1, batch_size=64,
+        load="", save_folder=str(tmp_path / "out"), epoch_save=1, iter_size=2,
+        show_every=2, train_root=str(csf_root),
+        train_list=str(csf_root / "train.lst"), arch="res2net50",
+        image_size=32, preprocess="resident",
+    )
+    os.makedirs(config.save_folder)
+    with pytest.raises(SystemExit, match="at least one full batch"):
+        run_csf_train(config, log=lambda *a, **k: None)

@@ -364,3 +364,41 @@ def test_eval_step_quantize_u8_matches_float_path():
     assert q.dtype == jnp.uint8
     np.testing.assert_array_equal(
         np.asarray(q), np.trunc(np.asarray(f) * 255.0).astype(np.uint8))
+
+
+def test_batch_iterators_accept_zero_workers(tmp_path):
+    """DATA.WORKERS=0 (the torch in-process-loading convention) must not
+    crash the thread-pool iterators."""
+    cv2 = pytest.importorskip("cv2")
+    from sod100k_tpu.data.pipeline import SalData, batches
+
+    rng = np.random.default_rng(5)
+    (tmp_path / "images").mkdir()
+    (tmp_path / "GT").mkdir()
+    for i in range(2):
+        cv2.imwrite(str(tmp_path / "images" / f"z{i}.jpg"),
+                    rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+        cv2.imwrite(str(tmp_path / "GT" / f"z{i}.png"),
+                    rng.integers(0, 255, (64, 64), dtype=np.uint8))
+    ds = SalData(str(tmp_path), (32, 32))
+    (b,) = list(batches(ds, 2, shuffle=False, num_threads=0))
+    assert b["image"].shape == (2, 32, 32, 3)
+
+
+def test_raw_batches_rejects_too_small_images(tmp_path):
+    """The device front-end applies the host Augment's minimum-size guard on
+    the host (the jitted crop cannot raise data-dependently and would emit a
+    degenerate gather instead)."""
+    cv2 = pytest.importorskip("cv2")
+    from sod100k_tpu.data.pipeline import SalData, raw_batches
+
+    rng = np.random.default_rng(6)
+    (tmp_path / "images").mkdir()
+    (tmp_path / "GT").mkdir()
+    cv2.imwrite(str(tmp_path / "images" / "tiny.jpg"),
+                rng.integers(0, 255, (24, 64, 3), dtype=np.uint8))
+    cv2.imwrite(str(tmp_path / "GT" / "tiny.png"),
+                rng.integers(0, 255, (24, 64), dtype=np.uint8))
+    ds = SalData(str(tmp_path), (32, 32))
+    with pytest.raises(ValueError, match="too small for augmentation"):
+        list(raw_batches(ds, 1, shuffle=False))
