@@ -88,6 +88,35 @@ def make_csf_optimizer(lr: float = 5e-5, weight_decay: float = 5e-4,
                             use_grad_mean=False)
 
 
+def bce2d(logits, target, reduction: str = "none"):
+    """Class-balanced BCE-with-logits (reference solver.py:129-144).
+
+    Pixel weights: alpha = #neg/#total on positives, beta = 1.1*#pos/#total
+    on negatives (the reference's comment has the roles swapped; the code —
+    `weights = alpha * pos + beta * neg` — is what we mirror). Present in
+    the reference but never called by its Solver; provided for users who
+    switch their loss to it. The reference's *default* `reduction=None` is
+    not a valid torch reduction (calling it without an explicit reduction
+    raises), so the default here is "none".
+    """
+    target = target.astype(jnp.float32)
+    pos = (target == 1).astype(jnp.float32)
+    neg = (target == 0).astype(jnp.float32)
+    num_total = jnp.sum(pos) + jnp.sum(neg)
+    alpha = jnp.sum(neg) / num_total
+    beta = 1.1 * jnp.sum(pos) / num_total
+    weights = alpha * pos + beta * neg
+    bce = weights * optax.sigmoid_binary_cross_entropy(
+        logits.astype(jnp.float32), target)
+    if reduction == "none":
+        return bce
+    if reduction == "mean":
+        return jnp.mean(bce)
+    if reduction == "sum":
+        return jnp.sum(bce)
+    raise ValueError(f"invalid reduction {reduction!r}")
+
+
 def make_csf_train_step(tx: optax.GradientTransformation, *,
                         backbone: str = "res2net50",
                         iter_size: int = 10, batch_size: int = 1,

@@ -355,3 +355,36 @@ def test_csf_resident_rejects_undersized_dataset(csf_root, tmp_path):
     os.makedirs(config.save_folder)
     with pytest.raises(SystemExit, match="at least one full batch"):
         run_csf_train(config, log=lambda *a, **k: None)
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference/CSF+Res2Net"),
+                    reason="reference not mounted")
+def test_bce2d_matches_reference_torch():
+    """Class-balanced bce2d == the live reference solver.bce2d
+    (CSF+Res2Net/solver.py:129-144) on identical logits/targets, for the
+    reductions torch accepts ('mean'/'sum'/'none'; the reference's default
+    reduction=None is not a valid torch reduction and raises there)."""
+    import sys
+
+    import torch
+
+    from sod100k_tpu.train.csf_step import bce2d
+
+    sys.path.insert(0, "/root/reference/CSF+Res2Net")
+    import importlib
+
+    solver = importlib.import_module("solver")
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((2, 1, 16, 16)).astype(np.float32)
+    target = (rng.random((2, 1, 16, 16)) > 0.6).astype(np.float32)
+    # a few non-{0,1} pixels: both implementations weight them to zero
+    target[0, 0, :2, :2] = 0.5
+
+    for reduction in ("mean", "sum", "none"):
+        want = solver.bce2d(torch.from_numpy(logits),
+                            torch.from_numpy(target),
+                            reduction=reduction).numpy()
+        got = np.asarray(bce2d(jnp.asarray(logits), jnp.asarray(target),
+                               reduction=reduction))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
