@@ -55,7 +55,7 @@ def _png_size(path: str):
 
 
 def evaluate_pairs_device(pairs, batch: int = 32, with_smeasure: bool = True,
-                          log=print) -> dict:
+                          with_wfmeasure: bool = False, log=print) -> dict:
     """Shape-bucketed padded batches through the on-device accumulator.
 
     Bucketing uses header-only size reads (pixels decode per chunk, so
@@ -68,6 +68,7 @@ def evaluate_pairs_device(pairs, batch: int = 32, with_smeasure: bool = True,
 
     acc = SalMetricAccumulator()
     s_sum, s_n = 0.0, 0
+    wf_sum = 0.0
     buckets: dict[tuple[int, int], list] = defaultdict(list)
     for sp, gp in pairs:
         hw = _png_size(sp)
@@ -100,6 +101,12 @@ def evaluate_pairs_device(pairs, batch: int = 32, with_smeasure: bool = True,
                 sal_p[jj, :h, :w] = sal
                 gt_p[jj, :h, :w] = gt
                 m[jj, :h, :w] = 1
+                if with_wfmeasure:
+                    # host-side per image (distance transform is sequential
+                    # work, a poor TPU fit); unpadded crop on purpose
+                    from sod100k_tpu.metrics.wfmeasure import weighted_f_measure
+
+                    wf_sum += weighted_f_measure(sal / 255.0, gt > 128)
             k -= skipped
             if not k:
                 continue
@@ -118,6 +125,8 @@ def evaluate_pairs_device(pairs, batch: int = 32, with_smeasure: bool = True,
     res = acc.result()
     if with_smeasure and s_n:
         res["s_measure"] = s_sum / s_n
+    if with_wfmeasure and acc.n:
+        res["weighted_f"] = wf_sum / acc.n
     return res
 
 
@@ -138,7 +147,8 @@ def evaluate_pairs_native(pairs, num_threads: int = 8) -> dict:
 
 
 def run_eval(cfg, epoch_range=(0, 1), method: str | None = None,
-             backend: str | None = None, datasets=None, log=print) -> dict:
+             backend: str | None = None, datasets=None,
+             wfmeasure: bool = False, log=print) -> dict:
     method = method or cfg.TASK or cfg.MODEL.ARCH
     backend = backend or cfg.TPU.EVAL_BACKEND
     if backend == "device":
@@ -167,13 +177,16 @@ def run_eval(cfg, epoch_range=(0, 1), method: str | None = None,
                           "w") as plist:
                     plist.writelines(f"{sp} {gp}\n" for sp, gp in pairs)
                 res = (evaluate_pairs_native(pairs) if backend == "native"
-                       else evaluate_pairs_device(pairs, log=log))
+                       else evaluate_pairs_device(
+                           pairs, with_wfmeasure=wfmeasure, log=log))
                 report = (f"epoch {epoch} {ds}: MaxF {res['max_f']:.6f} "
                           f"MAE {res['mae']:.6f} MeanF {res['mean_f']:.6f}")
                 if "max_e" in res:
                     report += f" MaxE {res['max_e']:.6f}"
                 if "s_measure" in res:
                     report += f" S {res['s_measure']:.6f}"
+                if "weighted_f" in res:
+                    report += f" wF {res['weighted_f']:.6f}"
                 log(report)
                 flog.write(report + "\n")
                 with open(os.path.join(out_dir,
@@ -198,13 +211,17 @@ def main() -> None:
                         help="epoch range begin,end (python range semantics)")
     parser.add_argument("--backend", default=None,
                         choices=["device", "native", None])
+    parser.add_argument("--wfmeasure", action="store_true",
+                        help="also report the weighted F-measure (Margolin "
+                        "CVPR'14; device backend only, host-side scipy)")
     args = parser.parse_args()
     cfg = get_cfg()
     cfg.merge_from_file(args.config)
     if not cfg.TASK:
         cfg.TASK = cfg.MODEL.ARCH
     b, e = (int(v) for v in args.range.split(","))
-    run_eval(cfg, epoch_range=(b, e), method=args.method, backend=args.backend)
+    run_eval(cfg, epoch_range=(b, e), method=args.method,
+             backend=args.backend, wfmeasure=args.wfmeasure)
 
 
 if __name__ == "__main__":

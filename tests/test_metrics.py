@@ -361,3 +361,120 @@ def test_e_measure_degenerate_gt_special_cases():
     frac_bg = 1.0 - (h // 2) * w / (h * w)
     np.testing.assert_allclose(em(half, zeros)[:255],
                                frac_bg, rtol=1e-6)
+
+
+def _wfm_oracle(sal, fg):
+    """Independent brute-force Fbw (Margolin CVPR'14): explicit O(N*M)
+    nearest-foreground search and direct-loop Gaussian convolution. Only
+    valid on GTs where every background pixel has a UNIQUE nearest
+    foreground pixel (tie-breaking in the fast distance transform is
+    implementation-defined)."""
+    sal = sal.astype(np.float64)
+    fg = fg.astype(bool)
+    h, w = fg.shape
+    err = np.abs(sal - fg)
+    fg_pts = np.argwhere(fg)
+    dep = err.copy()
+    dist = np.zeros((h, w))
+    for r in range(h):
+        for c in range(w):
+            if fg[r, c]:
+                continue
+            d2 = (fg_pts[:, 0] - r) ** 2 + (fg_pts[:, 1] - c) ** 2
+            k = int(np.argmin(d2))
+            assert (d2 == d2[k]).sum() == 1, "oracle GT must be tie-free"
+            dist[r, c] = np.sqrt(d2[k])
+            dep[r, c] = err[fg_pts[k, 0], fg_pts[k, 1]]
+    g = np.arange(7) - 3.0
+    kern = np.exp(-(g[:, None] ** 2 + g[None, :] ** 2) / 50.0)
+    kern /= kern.sum()
+    sm = np.zeros((h, w))
+    for r in range(h):
+        for c in range(w):
+            for dr in range(-3, 4):
+                for dc in range(-3, 4):
+                    rr, cc = r + dr, c + dc
+                    if 0 <= rr < h and 0 <= cc < w:
+                        sm[r, c] += kern[dr + 3, dc + 3] * dep[rr, cc]
+    emin = np.where(fg & (sm < err), sm, err)
+    ew = emin * np.where(fg, 1.0, 2.0 - np.exp(np.log(0.5) / 5.0 * dist))
+    tpw = fg.sum() - ew[fg].sum()
+    rec = 1.0 - ew[fg].mean()
+    prec = tpw / (tpw + ew[~fg].sum() + 1e-12)
+    return 2.0 * rec * prec / (rec + prec + 1e-12)
+
+
+def test_weighted_f_measure_matches_brute_force():
+    from sod100k_tpu.metrics.wfmeasure import weighted_f_measure
+
+    # tie-free GTs: a single foreground pixel, and a half-plane (the unique
+    # nearest foreground of bg pixel (r,c) is ((k-1),c))
+    point = np.zeros((14, 11), bool)
+    point[4, 7] = True
+    half = np.zeros((12, 13), bool)
+    half[:5] = True
+    for gt in (point, half):
+        sal = RNG.random(gt.shape)
+        np.testing.assert_allclose(
+            weighted_f_measure(sal, gt), _wfm_oracle(sal, gt),
+            rtol=0, atol=1e-10)
+
+
+def test_weighted_f_measure_properties():
+    from sod100k_tpu.metrics.wfmeasure import (
+        weighted_f_measure,
+        weighted_f_measure_batch,
+    )
+
+    gt = np.zeros((20, 20), bool)
+    gt[5:14, 6:16] = True
+    perfect = gt.astype(np.float64)
+    np.testing.assert_allclose(weighted_f_measure(perfect, gt), 1.0,
+                               atol=1e-9)
+    assert weighted_f_measure(1.0 - perfect, gt) < 1e-9
+    noisy = np.clip(perfect + 0.3 * RNG.random(gt.shape), 0, 1)
+    noisier = np.clip(perfect + 0.6 * RNG.random(gt.shape), 0, 1)
+    assert 0 < weighted_f_measure(noisier, gt) \
+        < weighted_f_measure(noisy, gt) < 1
+    # all-background GT scores 0 by convention
+    assert weighted_f_measure(noisy, np.zeros_like(gt)) == 0.0
+    # padded batch with hw extents == per-image on the crops (padding must
+    # not count as background)
+    sal_p = np.full((2, 32, 32), 0.5)  # nonzero pad: counts as FP if scored
+    gt_p = np.zeros((2, 32, 32), bool)
+    sal_p[0, :20, :20], gt_p[0, :20, :20] = noisy, gt
+    sal_p[1, :20, :20], gt_p[1, :20, :20] = noisier, gt
+    hw = np.asarray([[20, 20], [20, 20]])
+    got = weighted_f_measure_batch(sal_p, gt_p, hw)
+    np.testing.assert_allclose(
+        got, [weighted_f_measure(noisy, gt), weighted_f_measure(noisier, gt)])
+    assert got[0] != weighted_f_measure(sal_p[0], gt_p[0])
+
+
+def test_eval_device_backend_reports_weighted_f(tmp_path):
+    """evaluate_pairs_device(with_wfmeasure=True) averages the per-image
+    Fbw over the listed pair count, on the unpadded images."""
+    cv2 = pytest.importorskip("cv2")
+    from cli.eval import _pairs, evaluate_pairs_device
+    from sod100k_tpu.metrics.wfmeasure import weighted_f_measure
+
+    sal_dir = tmp_path / "sal"
+    gt_dir = tmp_path / "gt"
+    sal_dir.mkdir()
+    gt_dir.mkdir()
+    rng = np.random.default_rng(1)
+    expected = 0.0
+    for i in range(3):
+        h, w = 40 + 7 * i, 50
+        gt = np.zeros((h, w), np.uint8)
+        gt[8:h - 8, 10:w - 10] = 255
+        sal = np.clip(gt.astype(np.int32)
+                      + rng.integers(-120, 120, (h, w)), 0, 255).astype(np.uint8)
+        cv2.imwrite(str(sal_dir / f"x{i}.png"), sal)
+        cv2.imwrite(str(gt_dir / f"x{i}.png"), gt)
+        expected += weighted_f_measure(sal / 255.0, gt > 128) / 3
+    pairs = _pairs(str(sal_dir), str(gt_dir))
+    res = evaluate_pairs_device(pairs, batch=2, with_wfmeasure=True,
+                                log=lambda *a: None)
+    assert res["weighted_f"] == pytest.approx(expected, abs=1e-9)
+    assert 0 < res["weighted_f"] < 1
