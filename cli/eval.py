@@ -181,6 +181,8 @@ def run_eval(cfg, epoch_range=(0, 1), method: str | None = None,
                            pairs, with_wfmeasure=wfmeasure, log=log))
                 report = (f"epoch {epoch} {ds}: MaxF {res['max_f']:.6f} "
                           f"MAE {res['mae']:.6f} MeanF {res['mean_f']:.6f}")
+                if "adaptive_f" in res:
+                    report += f" AdpF {res['adaptive_f']:.6f}"
                 if "max_e" in res:
                     report += f" MaxE {res['max_e']:.6f}"
                 if "s_measure" in res:

@@ -284,7 +284,9 @@ def run_testall_resident(cfg, log=print) -> dict:
             # with cli.eval's reference-protocol FmeasureResults files
             report = (f"epoch {epoch} {ds} [resident]: "
                       f"MaxF {res['max_f']:.6f} MAE {res['mae']:.6f} "
-                      f"MeanF {res['mean_f']:.6f} MaxE {res['max_e']:.6f} "
+                      f"MeanF {res['mean_f']:.6f} "
+                      f"AdpF {res['adaptive_f']:.6f} "
+                      f"MaxE {res['max_e']:.6f} "
                       f"S {res['s_measure']:.6f}")
             log(report)
             with open(os.path.join(

@@ -231,16 +231,19 @@ def make_resident_salmetric_fn(eval_step, *, batch_size: int,
     checkpoint is ONE dispatched scan: forward -> per-image resize-back to
     native size -> trunc(sigmoid*255) (the exact PNG quantization) ->
     histogram MAE / 256-threshold P/R / E-measure (metrics.salmetric math)
-    + S-measure — only six metric sums come back over the wire.
+    + adaptive-F + S-measure — only seven metric sums come back over the wire.
 
     eval_step: make_eval_step(lc, from_u8=True, ...). Returns
     fn(params, data) -> dict of PER-BATCH device sums, each with a leading
     (nb,) axis: {"n", "mae_sum", "p_sum"[256], "r_sum"[256], "e_sum"[256],
-    "s_sum"} — the cross-batch reduction happens on host in float64
+    "a_sum", "s_sum"} — the cross-batch reduction happens on host in float64
     (metrics.salmetric.result_from_sums) so a long f32 carry chain cannot
     drift best-epoch rankings on large splits. Counterpart of the
     reference's test.py:58-108 + eval.py + sal_metric.cpp pipeline."""
-    from sod100k_tpu.metrics.salmetric import _per_image_stats
+    from sod100k_tpu.metrics.salmetric import (
+        _per_image_stats,
+        adaptive_f_per_image,
+    )
     from sod100k_tpu.metrics.smeasure import s_measure_batch
 
     @jax.jit
@@ -263,6 +266,7 @@ def make_resident_salmetric_fn(eval_step, *, batch_size: int,
                                               (ch, cw))
             gt_f = gt.astype(jnp.float32)
             mae, pre, rec, em = _per_image_stats(sal255, gt_f, mask)
+            af = adaptive_f_per_image(sal255, gt_f, mask)
             sm = s_measure_batch(sal255 / 255.0,
                                  (gt_f > 128).astype(jnp.float32), mask)
             return None, {
@@ -271,6 +275,7 @@ def make_resident_salmetric_fn(eval_step, *, batch_size: int,
                 "p_sum": jnp.sum(pre * wt[:, None], axis=0),
                 "r_sum": jnp.sum(rec * wt[:, None], axis=0),
                 "e_sum": jnp.sum(em * wt[:, None], axis=0),
+                "a_sum": jnp.sum(af * wt),
                 "s_sum": jnp.sum(sm * wt),
             }
 

@@ -116,6 +116,29 @@ def _e_measure_from_counts(tp, a, b, n):
                      jnp.where(b == n, e_full_gt, e_general))
 
 
+@jax.jit
+def adaptive_f_per_image(sal: jax.Array, gt: jax.Array, mask: jax.Array):
+    """Per-image adaptive F-measure (the third standard F protocol in SOD
+    evaluation, alongside max-F and mean-F; the convention of Achanta et
+    al. CVPR'09 as implemented in the public PySODMetrics suite): binarize
+    each prediction at min(2 * its own mean, 255), then F with beta^2 = 0.3
+    from that single binarization. Zero intersection (including empty GT)
+    scores 0. sal/gt: (B, H, W) in [0, 255]; mask marks valid pixels."""
+    sal = sal.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
+    npix = jnp.maximum(jnp.sum(mask, axis=(1, 2)), 1.0)
+    mean = jnp.sum(sal * mask, axis=(1, 2)) / npix
+    th = jnp.minimum(2.0 * mean, 255.0)
+    binary = (sal >= th[:, None, None]).astype(jnp.float32) * mask
+    pos = (gt.astype(jnp.float32) > THRESHOLDS / 2).astype(jnp.float32) * mask
+    inter = jnp.sum(binary * pos, axis=(1, 2))
+    eps = 1e-12
+    pre = inter / jnp.maximum(jnp.sum(binary, axis=(1, 2)), eps)
+    rec = inter / jnp.maximum(jnp.sum(pos, axis=(1, 2)), eps)
+    f = (1 + BETA2) * pre * rec / (BETA2 * pre + rec + eps)
+    return jnp.where(inter > 0, f, 0.0)
+
+
 class SalMetricAccumulator:
     """Streaming macro-average accumulator over an image set."""
 
@@ -125,6 +148,7 @@ class SalMetricAccumulator:
         self.precision = np.zeros(THRESHOLDS, np.float64)
         self.recall = np.zeros(THRESHOLDS, np.float64)
         self.emeasure = np.zeros(THRESHOLDS, np.float64)
+        self.adaptive_f = 0.0
 
     def update_batch(self, sal: np.ndarray, gt: np.ndarray,
                      mask: np.ndarray | None = None, count: int | None = None):
@@ -135,12 +159,15 @@ class SalMetricAccumulator:
         mae, pre, rec, em = _per_image_stats(
             jnp.asarray(sal), jnp.asarray(gt), jnp.asarray(mask)
         )
+        af = adaptive_f_per_image(
+            jnp.asarray(sal), jnp.asarray(gt), jnp.asarray(mask))
         k = sal.shape[0] if count is None else count
         self.n += k
         self.mae += float(jnp.sum(mae[:k]))
         self.precision += np.asarray(jnp.sum(pre[:k], axis=0), np.float64)
         self.recall += np.asarray(jnp.sum(rec[:k], axis=0), np.float64)
         self.emeasure += np.asarray(jnp.sum(em[:k], axis=0), np.float64)
+        self.adaptive_f += float(jnp.sum(af[:k]))
 
     def result(self) -> dict:
         assert self.n > 0, "no images accumulated"
@@ -170,6 +197,7 @@ class SalMetricAccumulator:
             "emeasure": e,
             "max_e": float(e.max()),
             "mean_e": float(e.mean()),
+            "adaptive_f": self.adaptive_f / self.n,
         }
 
 
@@ -190,6 +218,8 @@ def result_from_sums(sums) -> dict:
     acc.precision = total(sums["p_sum"])
     acc.recall = total(sums["r_sum"])
     acc.emeasure = total(sums["e_sum"])
+    if "a_sum" in sums:
+        acc.adaptive_f = float(total(sums["a_sum"]))
     res = acc.result()
     res["s_measure"] = float(total(sums["s_sum"])) / acc.n
     return res

@@ -340,6 +340,7 @@ def test_resident_salmetric_matches_host_protocol(tmp_path):
 
     assert got["mae"] == pytest.approx(host["mae"], abs=1e-4)
     assert got["max_f"] == pytest.approx(host["max_f"], abs=1e-4)
+    assert got["adaptive_f"] == pytest.approx(host["adaptive_f"], abs=1e-4)
     assert got["s_measure"] == pytest.approx(host["s_measure"], abs=1e-4)
     np.testing.assert_allclose(got["precision"], host["precision"], atol=2e-4)
     np.testing.assert_allclose(got["recall"], host["recall"], atol=2e-4)

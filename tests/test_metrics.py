@@ -478,3 +478,46 @@ def test_eval_device_backend_reports_weighted_f(tmp_path):
                                 log=lambda *a: None)
     assert res["weighted_f"] == pytest.approx(expected, abs=1e-9)
     assert 0 < res["weighted_f"] < 1
+
+
+def test_adaptive_f_matches_brute_force():
+    """Device adaptive-F == a direct numpy transcription of the protocol
+    (binarize at min(2*mean, 255), F-beta^2=0.3, zero-intersection -> 0),
+    per-image and through padded batches / the accumulator."""
+    from sod100k_tpu.metrics.salmetric import adaptive_f_per_image
+
+    def oracle(sal, gt):
+        sal = sal.astype(np.float64)
+        th = min(2.0 * sal.mean(), 255.0)
+        binary = sal >= th
+        pos = gt.astype(np.float64) > 128
+        inter = (binary & pos).sum()
+        if inter == 0:
+            return 0.0
+        pre = inter / binary.sum()
+        rec = inter / pos.sum()
+        return (1 + BETA2) * pre * rec / (BETA2 * pre + rec)
+
+    sals, gts = _synthetic(n=5, hw=(23, 31))  # includes empty + full GT
+    want = [oracle(s, g) for s, g in zip(sals, gts)]
+    got = np.asarray(adaptive_f_per_image(
+        np.stack(sals).astype(np.float32), np.stack(gts).astype(np.float32),
+        np.ones((5, 23, 31), np.float32)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # padded batch with masks: padding must not shift the adaptive
+    # threshold (it enters the per-image mean if unmasked)
+    H, W = 32, 40
+    sal_p = np.full((5, H, W), 200.0, np.float32)
+    gt_p = np.zeros((5, H, W), np.float32)
+    m = np.zeros((5, H, W), np.float32)
+    for i, (s, g) in enumerate(zip(sals, gts)):
+        sal_p[i, :23, :31] = s
+        gt_p[i, :23, :31] = g
+        m[i, :23, :31] = 1
+    got_p = np.asarray(adaptive_f_per_image(sal_p, gt_p, m))
+    np.testing.assert_allclose(got_p, want, atol=1e-6)
+
+    acc = SalMetricAccumulator()
+    acc.update_batch(sal_p, gt_p, mask=m)
+    assert acc.result()["adaptive_f"] == pytest.approx(np.mean(want), abs=1e-6)
