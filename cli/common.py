@@ -37,12 +37,17 @@ def data_mesh_for(cfg, batch_size: int, log=print, *, image_h: int = 0,
     GSPMD validity check for the 2-D path — spatially-sharded strided convs
     silently compute wrong values below a measured extent
     (parallel.mesh.MIN_STRIDE2_INPUT; docs/DESIGN.md §10)."""
+    from sod100k_tpu.parallel import multihost
     from sod100k_tpu.parallel.mesh import (
         check_spatial_extent,
         make_mesh,
         make_mesh_2d,
         parse_mesh_shape,
     )
+
+    # multi-host: one process per pod host, one global mesh (SOD100K_* env,
+    # parallel/multihost.py). A no-op unless the env opts in.
+    multihost.init_from_env(log)
 
     if cfg.TPU.MESH_SHAPE:
         try:
@@ -60,7 +65,8 @@ def data_mesh_for(cfg, batch_size: int, log=print, *, image_h: int = 0,
                 raise SystemExit(f"TPU.MESH_SHAPE={cfg.TPU.MESH_SHAPE}: {e}")
         try:
             mesh = make_mesh_2d(d, s)
-        except ValueError as e:  # not enough visible devices
+            multihost.check_mesh_process_layout(mesh)
+        except ValueError as e:  # not enough devices / axis crosses hosts
             raise SystemExit(f"TPU.MESH_SHAPE={cfg.TPU.MESH_SHAPE}: {e}")
         log(f"2-D mesh: {d} data x {s} spatial devices")
         return mesh
@@ -71,6 +77,13 @@ def data_mesh_for(cfg, batch_size: int, log=print, *, image_h: int = 0,
     n = want
     while batch_size % n:
         n -= 1
+    if multihost.is_multihost() and n != len(jax.devices()):
+        # every process must own mesh devices (multi-controller SPMD);
+        # partial meshes would strand whole hosts
+        raise SystemExit(
+            f"multi-host runs need the mesh to span all {len(jax.devices())} "
+            f"global devices and the batch ({batch_size}) to divide evenly "
+            f"over them; got a {n}-device mesh")
     if n != want:
         log(f"data mesh clamped to {n} device(s) "
             f"(batch {batch_size} must shard evenly)")
@@ -158,6 +171,10 @@ def build_model_from_cfg(cfg, dirs: dict, log=print):
 
 def save_torch_checkpoint(path: str, params, epoch: int, arch: str,
                           opt_state=None, rename=None) -> None:
+    from sod100k_tpu.parallel.multihost import is_primary
+
+    if not is_primary():
+        return  # multi-host: one checkpoint writer (params are replicated)
     import torch
 
     sd = {k: torch.from_numpy(np.array(v)) for k, v in

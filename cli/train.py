@@ -329,19 +329,25 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
         history.append({"epoch": epoch + 1, "mae": mae, "loss": losses,
                         "secs": epoch_secs, "img_per_sec": ips})
 
-        save_torch_checkpoint(
-            os.path.join(dirs["checkpoint"], f"checkpoint_epoch{epoch + 1}.pth.tar"),
-            jax.tree.map(np.asarray, params_dev),  # one host readback
-            epoch=epoch + 1, arch=cfg.MODEL.ARCH,
-            opt_state=opt_state,
-        )
-        if cfg.TPU.ORBAX:
-            from sod100k_tpu.train.checkpoint import save_native
+        # multi-host: one writer (params/opt state are replicated, so the
+        # primary's readback sees the same values every host would)
+        from sod100k_tpu.parallel.multihost import is_primary
 
-            save_native(
-                os.path.join(dirs["checkpoint"], f"orbax_epoch{epoch + 1}"),
-                trainable, state, opt_state, epoch + 1,
+        if is_primary():
+            save_torch_checkpoint(
+                os.path.join(dirs["checkpoint"],
+                             f"checkpoint_epoch{epoch + 1}.pth.tar"),
+                jax.tree.map(np.asarray, params_dev),  # one host readback
+                epoch=epoch + 1, arch=cfg.MODEL.ARCH,
+                opt_state=opt_state,
             )
+            if cfg.TPU.ORBAX:
+                from sod100k_tpu.train.checkpoint import save_native
+
+                save_native(
+                    os.path.join(dirs["checkpoint"], f"orbax_epoch{epoch + 1}"),
+                    trainable, state, opt_state, epoch + 1,
+                )
     return {"best_mae": best_mae, "best_epoch": best_epoch, "history": history,
             "lc": lc, "dirs": dirs}
 

@@ -446,10 +446,15 @@ def device_prefetch(it: Iterator[dict], *, mesh=None, depth: int = 2) -> Iterato
     import jax
 
     if mesh is not None:
-        from ..parallel.mesh import shard_feed
+        from ..parallel import multihost
 
         def place(batch: dict) -> dict:
-            return shard_feed(batch, mesh)
+            # multi-host: the iterator's batch order is index-deterministic,
+            # so every process sees the same GLOBAL batch here; each keeps its
+            # own rows and the runtime stitches the global array. Falls back
+            # to plain shard_feed single-process.
+            return multihost.global_feed(
+                multihost.local_slice_feed(batch), mesh)
     else:
         dev = jax.devices()[0]
 

@@ -50,7 +50,10 @@ def build_resident_dataset(dataset, store_hw: tuple[int, int] = (256, 256),
         img, gt = dataset._decode_u8(i)
         imgs[i] = cv2.resize(img, (ws, hs), interpolation=cv2.INTER_LINEAR)
         gts[i] = cv2.resize(gt, (ws, hs), interpolation=cv2.INTER_LINEAR)
-    put = (lambda a: jax.device_put(a, sharding)) if sharding is not None \
+    # put_replicated: multi-host safe (every process supplies its local copy
+    # of the replicated store; plain device_put single-process)
+    from ..parallel.multihost import put_replicated
+    put = (lambda a: put_replicated(a, sharding)) if sharding is not None \
         else jax.device_put
     return {"image_u8": put(imgs), "gt_u8": put(gts)}
 
@@ -191,7 +194,10 @@ def build_resident_val_dataset(dataset, in_hw: tuple[int, int],
         gts[i, :gt.shape[0], :gt.shape[1]] = gt
         hws[i] = gt.shape[:2]
         wts[i] = 1.0 if i < n else 0.0
-    put = (lambda a: jax.device_put(a, sharding)) if sharding is not None \
+    # put_replicated: multi-host safe (every process supplies its local copy
+    # of the replicated store; plain device_put single-process)
+    from ..parallel.multihost import put_replicated
+    put = (lambda a: put_replicated(a, sharding)) if sharding is not None \
         else jax.device_put
     return {"image_u8": put(imgs), "gt_u8": put(gts),
             "hw": put(hws), "weight": put(wts),

@@ -140,5 +140,12 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = DATA_AXIS) -> dict:
 
 
 def replicate(tree, mesh: Mesh):
+    """Replicate a pytree over the mesh. Multi-host safe: device_put cannot
+    target non-addressable devices, so under multiple processes every process
+    supplies its full local copy instead (parallel/multihost.py)."""
     sh = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), tree)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
