@@ -106,7 +106,12 @@ class Logger:
     def __init__(self, log_dir: str, prefix: str, task: str):
         os.makedirs(log_dir, exist_ok=True)
         stamp = time.strftime("%Y_%m_%d-%H_%M_%S")
-        self.path = os.path.join(log_dir, f"{prefix}_{task}_{stamp}.txt")
+        # multi-host: per-process files (same-second starts on a shared FS
+        # would interleave writes into one file)
+        proc = jax.process_index() if jax.process_count() > 1 else 0
+        suffix = f".p{proc}" if proc else ""
+        self.path = os.path.join(log_dir,
+                                 f"{prefix}_{task}_{stamp}{suffix}.txt")
         self._f = open(self.path, "w")
 
     def __call__(self, msg, display: bool = True) -> None:
@@ -148,14 +153,21 @@ def build_model_from_cfg(cfg, dirs: dict, log=print):
         if cfg.AUTO.EXPAND > 1:
             log(f"Expand the basewidth from 20 to {basewidth}")
         lc = init_layers(basewidth, cfg.MODEL.BASIC_SPLIT)
-    lc.save(os.path.join(dirs["layer_configs"], "layer_config_0.bin"))
-    lc.save(os.path.join(dirs["layer_configs"], "layer_config_latest.bin"))
+    from sod100k_tpu.parallel import multihost
+
+    if multihost.is_primary():
+        # multi-host: one writer — concurrent non-atomic pickle writes to the
+        # same shared-FS path could corrupt a file another process later loads
+        lc.save(os.path.join(dirs["layer_configs"], "layer_config_0.bin"))
+        lc.save(os.path.join(dirs["layer_configs"], "layer_config_latest.bin"))
 
     params = arch.init(jax.random.key(cfg.TPU.SEED), lc)
     save_torch_checkpoint(
         os.path.join(dirs["checkpoint"], "checkpoint_init.pth.tar"),
         params, epoch=-1, arch="CSNet",
     )
+    # every process sees the primary's files before anything reads them
+    multihost.barrier("model-built")
     # startup params/FLOPs print contract (reference train.py:93-96)
     from sod100k_tpu.arch.csnet import csnet_apply
     from sod100k_tpu.utils.profiler import simplesum

@@ -100,13 +100,22 @@ def _load_params(config, log=print):
 
 def run_csf_train(config, log=print) -> dict:
     from .common import enable_compile_cache
+    from sod100k_tpu.parallel import multihost
 
     enable_compile_cache()
+    # multi-host init must precede any backend-initializing jax call
+    # (SOD100K_MULTIHOST / SOD100K_COORDINATOR env; no-op otherwise)
+    multihost.init_from_env(log)
     run = 0
     while os.path.exists(os.path.join(config.save_folder, f"run-{run}")):
         run += 1
+    # multi-host: every process lists the same runs, agrees on N at the
+    # barrier, then ONE process creates the directory
+    multihost.barrier("csf-run-chosen")
     save_folder = os.path.join(config.save_folder, f"run-{run}")
-    os.makedirs(os.path.join(save_folder, "models"))
+    if multihost.is_primary():
+        os.makedirs(os.path.join(save_folder, "models"))
+    multihost.barrier("csf-run-made")
 
     params = _load_params(config, log)
     trainable, state = csf_partition(params)
@@ -164,6 +173,19 @@ def run_csf_train(config, log=print) -> dict:
         while config.batch_size % n_dev:
             n_dev -= 1
         mesh = make_mesh(n_dev)
+    multihost.check_mesh_process_layout(mesh)
+    if multihost.is_multihost() and len(mesh.devices.flat) != len(jax.devices()):
+        raise SystemExit(
+            f"multi-host CSF runs need the mesh to span all "
+            f"{len(jax.devices())} global devices; got "
+            f"{len(mesh.devices.flat)} (check --mesh_devices/--mesh_shape "
+            f"and --batch_size divisibility)")
+    if multihost.is_multihost() and not config.image_size and \
+            getattr(config, "preprocess", "host") != "resident":
+        raise SystemExit(
+            "multi-host CSF training needs a fixed --image_size (the "
+            "native-size bucketed batches are ragged per bucket and cannot "
+            "be sliced evenly across processes)")
     trainable = replicate(trainable, mesh)
     state = replicate(state, mesh)
     opt_state = replicate(opt_state, mesh)
@@ -218,7 +240,16 @@ def run_csf_train(config, log=print) -> dict:
         nbytes = sum(v.nbytes for v in rdata.values())
         log(f"resident CSF dataset: {len(dataset)} images at "
             f"{config.image_size}^2 = {nbytes / 2**20:.0f} MiB in HBM")
+        step_warmed = False
         for epoch in range(config.epoch):
+            if not step_warmed:
+                # compile everywhere, barrier, then dispatch the first
+                # collective (multihost.compile_barrier; no-op single-host)
+                multihost.compile_barrier(
+                    epoch_fn, trainable, state, opt_state, rdata,
+                    jax.random.key(epoch), jnp.float32(lr),
+                    name="csf-resident-epoch")
+                step_warmed = True
             trainable, opt_state, ep_losses = epoch_fn(
                 trainable, state, opt_state, rdata,
                 jax.random.key(epoch), jnp.float32(lr))
@@ -247,6 +278,7 @@ def run_csf_train(config, log=print) -> dict:
         return {"save_folder": save_folder, "losses": losses}
 
     warned_h: set = set()  # unsafe-H buckets already logged (once per H)
+    step_warmed = False
     for epoch in range(config.epoch):
         if config.image_size:
             it = fixed_size_batches(dataset, config.batch_size,
@@ -282,13 +314,24 @@ def run_csf_train(config, log=print) -> dict:
                         log(f"bucket H={h_bad}: replicating instead of "
                             f"spatial-sharding ({e})")
                     shardable = False
-            if shardable:
+            if multihost.is_multihost():
+                # deterministic global batch order (seeded shuffle, partials
+                # dropped): each process takes its rows, the runtime stitches
+                # the global array (multihost.global_feed)
+                batch = multihost.global_feed(
+                    multihost.local_slice_feed(batch), mesh)
+            elif shardable:
                 # image-like arrays also shard H over the spatial axis on a
                 # 2-D mesh; rank<3 arrays stay data-only (shard_feed)
                 batch = shard_feed(batch, mesh)
             else:
                 # ragged trailing bucket batch: replicate (recompiles anyway)
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if not step_warmed:
+                multihost.compile_barrier(step, trainable, state, opt_state,
+                                          batch, jnp.float32(lr),
+                                          name="csf-step")
+                step_warmed = True
             trainable, opt_state, m = step(trainable, state, opt_state, batch,
                                            jnp.float32(lr))
             # defer the loss readback to the show boundary: float(...) is a
@@ -327,6 +370,14 @@ def _compute_dtype(config):
 
 def run_csf_test(config, log=print) -> dict:
     import cv2
+
+    from sod100k_tpu.parallel import multihost
+
+    multihost.init_from_env(log)
+    if multihost.is_multihost():
+        raise SystemExit(
+            "CSF test mode is single-host (per-image PNG writes don't "
+            "shard across processes); run it on one host")
 
     params = csf_init(jax.random.key(0), backbone=config.arch)
     loaded, _ = load_checkpoint(config.model)

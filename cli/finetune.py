@@ -55,6 +55,10 @@ def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
     from .common import enable_compile_cache
 
     enable_compile_cache()
+    # multi-host init must precede any backend-initializing jax call
+    from sod100k_tpu.parallel import multihost
+
+    multihost.init_from_env(log or print)
     dirs = resolve_dirs(cfg)
     log = log or Logger(dirs["base"], "logfinetune", dirs["task"])
 
@@ -158,6 +162,7 @@ def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
 
     best_mae, best_epoch = float("inf"), -1
     epochs = max_epochs if max_epochs is not None else sol.MAX_EPOCHS
+    step_warmed = False  # multi-host: compile-barrier before first dispatch
     for epoch in range(epochs):
         if sol.ADJUST_STEP and sol.LR_SCHEDULER == "cosine":
             lr = cosine_lr(sol.LR, epoch, sol.MAX_EPOCHS)
@@ -168,6 +173,12 @@ def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
         log(f"lr: {lr}")
         if preprocess == "resident":
             ekey = jax.random.key(cfg.TPU.SEED * 7_777_771 + epoch)
+            if not step_warmed:
+                multihost.compile_barrier(
+                    epoch_fn, trainable, state, opt_state, resident_data,
+                    ekey, jnp.float32(lr), jnp.float32(0.0),
+                    name="ft-resident-epoch")
+                step_warmed = True
             trainable, state, opt_state, loss_arr, _ = epoch_fn(
                 trainable, state, opt_state, resident_data, ekey,
                 jnp.float32(lr), jnp.float32(0.0))
@@ -210,6 +221,11 @@ def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
                             if hybrid else
                             {"image": batch["image"],
                              "target": batch["target"]})
+                if not step_warmed:
+                    multihost.compile_barrier(
+                        step, trainable, state, opt_state, feed,
+                        jnp.float32(lr), jnp.float32(0.0), name="ft-step")
+                    step_warmed = True
                 trainable, state, opt_state, m = step(
                     trainable, state, opt_state, feed,
                     jnp.float32(lr), jnp.float32(0.0),
@@ -221,6 +237,10 @@ def run_finetune(cfg, from_epoch: int, max_epochs: int | None = None,
         mae = float("nan")
         params_dev = merge(trainable, state)  # stays on device for val
         if resident_val_fn is not None:
+            if epoch == 0:
+                multihost.compile_barrier(resident_val_fn, params_dev,
+                                          resident_val_data,
+                                          name="ft-resident-val")
             mae = float(resident_val_fn(params_dev, resident_val_data))
         elif val_ds is not None:
             mae = val_mae(eval_step, params_dev, val_ds,

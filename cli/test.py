@@ -34,6 +34,9 @@ def run_test(cfg, log=print) -> dict:
     from .common import enable_compile_cache
 
     enable_compile_cache()
+    from sod100k_tpu.parallel import multihost
+
+    multihost.init_from_env(log)  # before any backend-initializing call
 
     lc = LayerConfig.load(cfg.TEST.MODEL_CONFIG)
     params, meta = load_checkpoint(cfg.TEST.CHECKPOINT)
@@ -222,6 +225,9 @@ def run_testall_resident(cfg, log=print) -> dict:
     from .common import data_mesh_for, enable_compile_cache
 
     enable_compile_cache()
+    from sod100k_tpu.parallel import multihost
+
+    multihost.init_from_env(log)  # before any backend-initializing call
     if not (cfg.TEST.IMAGE_H and cfg.TEST.IMAGE_W):
         raise SystemExit("TPU.TEST_RESIDENT needs fixed TEST.IMAGE_H/W "
                          "(the ceil-to-16 mode is per-image-shaped)")

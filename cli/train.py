@@ -76,6 +76,12 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
     from .common import enable_compile_cache
 
     enable_compile_cache()
+    # multi-host init MUST precede any backend-initializing jax call
+    # (jax.distributed.initialize raises once backends exist); the
+    # data_mesh_for call later is an idempotent fallback
+    from sod100k_tpu.parallel import multihost
+
+    multihost.init_from_env(log or print)
     dirs = resolve_dirs(cfg)
     log = log or Logger(dirs["base"], "logtrain", dirs["task"])
     log(cfg, display=False)
@@ -215,6 +221,7 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
     best_mae, best_epoch = float("inf"), -1
     epochs = max_epochs if max_epochs is not None else cfg.SOLVER.MAX_EPOCHS
     history = []
+    step_warmed = False  # multi-host: compile-barrier before first dispatch
     import time as _time
     for epoch in range(start_epoch, epochs):
         t_epoch = _time.perf_counter()
@@ -237,6 +244,14 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
             # whole epoch in one dispatched program; the float() readbacks
             # below force execution (block_until_ready lies on this tunnel)
             ekey = jax.random.key(cfg.TPU.SEED * 7_777_777 + epoch)
+            if not step_warmed:
+                # compile everywhere, barrier, THEN dispatch: the collective
+                # transport's rendezvous times out (~30 s gloo) if one
+                # process is still compiling when its peers dispatch
+                multihost.compile_barrier(
+                    epoch_fn, trainable, state, opt_state, resident_data,
+                    ekey, jnp.float32(lr), penalty_on, name="resident-epoch")
+                step_warmed = True
             trainable, state, opt_state, loss_arr, pen_arr = epoch_fn(
                 trainable, state, opt_state, resident_data, ekey,
                 jnp.float32(lr), penalty_on)
@@ -278,6 +293,13 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
                             "target": batch["target_u8"]}
                 else:
                     feed = {"image": batch["image"], "target": batch["target"]}
+                if not step_warmed:
+                    # see the resident branch: compile everywhere, barrier,
+                    # then dispatch the first collective (gradient psum)
+                    multihost.compile_barrier(
+                        step, trainable, state, opt_state, feed,
+                        jnp.float32(lr), penalty_on, name="train-step")
+                    step_warmed = True
                 trainable, state, opt_state, m = step(
                     trainable, state, opt_state, feed,
                     jnp.float32(lr), penalty_on,
@@ -319,6 +341,10 @@ def run_training(cfg, max_epochs: int | None = None, log=None) -> dict:
         if resident_val_fn is not None:
             # one-dispatch validation over the HBM-resident val set; float()
             # forces the readback (see the tunnel note above)
+            if epoch == start_epoch:
+                multihost.compile_barrier(resident_val_fn, params_dev,
+                                          resident_val_data,
+                                          name="resident-val")
             mae = float(resident_val_fn(params_dev, resident_val_data))
         elif val_ds is not None:
             mae = val_mae(eval_step, params_dev, val_ds, cfg.DATA.BATCH_SIZE, log)

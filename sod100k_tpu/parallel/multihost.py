@@ -104,8 +104,39 @@ def barrier(name: str, timeout_ms: int = 600_000) -> None:
     from jax._src import distributed
 
     client = distributed.global_state.client
-    if client is not None:
-        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+    if client is None:
+        # jax.process_count() > 1 without a coordination client should be
+        # impossible; if a jax upgrade moves the private client attribute,
+        # fail loudly — a silently skipped barrier turns into data races on
+        # shared-FS files and gloo rendezvous timeouts far from here.
+        raise RuntimeError(
+            "multi-host run but no coordination-service client found "
+            "(jax._src.distributed.global_state.client is None); the "
+            "barrier cannot be skipped safely")
+    client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+
+def compile_barrier(jitted, *args, name: str = "first-dispatch",
+                    log=print) -> None:
+    """AOT-compile a jitted program, then barrier — call right before the
+    FIRST dispatch of any program containing collectives.
+
+    The CPU gloo transport (and, less tightly, the TPU runtime) sets up its
+    collective context at first *execution* with a short rendezvous timeout
+    (measured ~30 s: ``GetKeyValue() timed out``). An XLA compile that misses
+    the persistent cache easily exceeds that, so a process arriving at the
+    rendezvous minutes after its peers kills the whole job. Compiling first
+    (local, no transport traffic) and then meeting at a coordination-service
+    barrier (600 s default) bounds the dispatch skew to RPC latency.
+
+    No-op single-process. The subsequent real call hits the in-memory jit
+    cache — nothing is compiled twice, and donated buffers are untouched
+    (lowering never executes).
+    """
+    if not is_multihost():
+        return
+    jitted.lower(*args).compile()
+    barrier("compile/" + name)
 
 
 def is_primary() -> bool:
@@ -169,6 +200,13 @@ def local_slice_feed(batch: dict, n_global: int | None = None) -> dict:
     if n_global is None:
         n_global = next(len(v) for v in batch.values()
                         if isinstance(v, (np.ndarray, jax.Array)))
+    for k, v in batch.items():
+        if isinstance(v, (np.ndarray, jax.Array)) and len(v) != n_global:
+            raise ValueError(
+                f"local_slice_feed: feed array {k!r} has leading dim "
+                f"{len(v)} != global batch {n_global}; every feed array "
+                "must be batch-leading (replicate non-batch arrays "
+                "explicitly outside the feed)")
     sl = process_slice(n_global)
     return {k: (v[sl] if isinstance(v, (np.ndarray, jax.Array)) else v)
             for k, v in batch.items()}

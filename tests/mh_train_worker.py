@@ -26,9 +26,14 @@ def main():
     from sod100k_tpu.arch.layer_config import init_layers
     from sod100k_tpu.config import get_cfg
 
-    lc_path = os.path.join(save_dir, "predefine.bin")
-    if os.environ["SOD100K_PROCESS_ID"] == "0":
-        init_layers(8, [0.5, 0.5]).save(lc_path)
+    # per-process predefine file with deterministic content: no pre-init
+    # coordination needed, so run_training below is the FIRST jax touchpoint
+    # — this is the product path (GUIDE.md: "SOD100K_MULTIHOST=auto python
+    # -m cli.train"), where multihost init must happen inside the driver
+    # before any backend-initializing call.
+    lc_path = os.path.join(save_dir,
+                           f"predefine_p{os.environ['SOD100K_PROCESS_ID']}.bin")
+    init_layers(8, [0.5, 0.5]).save(lc_path)
 
     cfg = get_cfg()
     cfg.TASK = "mh_e2e"
@@ -48,19 +53,17 @@ def main():
     cfg.SOLVER.METHOD = "Adam_dynamic_weight_decay"
     cfg.SOLVER.LR = 1e-3
     cfg.TPU.MESH_DEVICES = 0  # all 8 global devices
-    cfg.TPU.PREPROCESS = "hybrid"
+    cfg.TPU.PREPROCESS = os.environ.get("MH_PREPROCESS", "hybrid")
 
     from cli.train import run_training
 
-    # init_from_env runs inside data_mesh_for; the predefine file must exist
-    # on every "host" before build_model_from_cfg reads it — but only after
-    # init can we barrier, so init explicitly first.
+    # NO explicit multihost init here: run_training itself must initialize
+    # jax.distributed before its first jax call (it does, at entry) — an
+    # explicit pre-init would mask an init-ordering regression.
+    result = run_training(cfg, max_epochs=1, log=lambda *a, **k: None)
+
     from sod100k_tpu.parallel import multihost
 
-    assert multihost.init_from_env()
-    multihost.barrier("predefine-written")
-
-    result = run_training(cfg, max_epochs=1, log=lambda *a, **k: None)
     multihost.barrier("trained")
 
     ckpt = os.path.join(save_dir, "mh_e2e", "checkpoint",

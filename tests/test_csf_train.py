@@ -373,6 +373,16 @@ def test_bce2d_matches_reference_torch():
     sys.path.insert(0, "/root/reference/CSF+Res2Net")
     import importlib
 
+    # solver.py's module scope does `import torchvision.utils as vutils`
+    # (solver.py:11) purely for its save_image helper, which bce2d never
+    # touches; torchvision is not installed here, so satisfy the import
+    # with an empty shim.
+    if "torchvision" not in sys.modules:
+        torchvision = types.ModuleType("torchvision")
+        torchvision.utils = types.ModuleType("torchvision.utils")
+        sys.modules["torchvision"] = torchvision
+        sys.modules["torchvision.utils"] = torchvision.utils
+
     solver = importlib.import_module("solver")
 
     rng = np.random.default_rng(0)
