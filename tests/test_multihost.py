@@ -105,10 +105,14 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     assert results[0]["sum2d"] == pytest.approx(ref_sum2d, rel=1e-5)
 
 
-def test_two_process_cli_train_e2e(tmp_path):
-    """The REAL cli.train driver under 2 processes: env-driven init, hybrid
-    host pipeline sliced per process, replicated state, identical losses and
-    val MAE on both hosts, primary-only checkpoint writes."""
+@pytest.mark.parametrize("preprocess", ["hybrid", "resident"])
+def test_two_process_cli_train_e2e(tmp_path, preprocess):
+    """The REAL cli.train driver under 2 processes: env-driven init, the
+    data front-end (hybrid: host pipeline sliced per process in
+    device_prefetch; resident: per-process replicated HBM store via
+    put_replicated + one-dispatch epoch scan + resident val), replicated
+    state, identical losses and val MAE on both hosts, primary-only
+    checkpoint writes."""
     cv2 = pytest.importorskip("cv2")
     rng = np.random.default_rng(3)
     for split in ("DUTS-TR", "ECSSD"):
@@ -137,6 +141,7 @@ def test_two_process_cli_train_e2e(tmp_path):
         env["SOD100K_PROCESS_ID"] = str(pid)
         env["MH_DATA_ROOT"] = str(tmp_path / "data")
         env["MH_SAVE_DIR"] = str(save)
+        env["MH_PREPROCESS"] = preprocess
         log = open(tmp_path / f"train{pid}.log", "w+")
         logs.append(log)
         procs.append(subprocess.Popen(
