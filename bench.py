@@ -24,9 +24,14 @@ import time
 import jax
 
 # persistent compile cache: first compile of the scan program is ~5 min on
-# this tunnel; subsequent runs (incl. the driver's) load from disk
+# this tunnel; subsequent runs (incl. the driver's) load from disk. Versioned
+# per host-CPU fingerprint (utils/cache_hygiene.py) against foreign XLA:CPU
+# AOT entries (SIGILL risk on cross-machine caches).
+from sod100k_tpu.utils.cache_hygiene import hygienic_cache_dir
+
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+                  hygienic_cache_dir(
+                      os.path.join(os.path.dirname(__file__), ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import jax.numpy as jnp

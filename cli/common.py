@@ -93,10 +93,15 @@ def data_mesh_for(cfg, batch_size: int, log=print, *, image_h: int = 0,
 def enable_compile_cache() -> None:
     """Persistent XLA compile cache (.jax_cache at the repo root): first
     compiles over the axon tunnel take minutes; reruns of the same driver
-    program load from disk. Safe to call repeatedly."""
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"))
+    program load from disk. Safe to call repeatedly. The directory is
+    versioned by a host-CPU fingerprint (utils.cache_hygiene) so a cache
+    shared across machines never loads a foreign XLA:CPU AOT entry
+    (SIGILL risk) and never purges another host's warm entries."""
+    from sod100k_tpu.utils.cache_hygiene import hygienic_cache_dir
+
+    base = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", hygienic_cache_dir(base))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 

@@ -120,13 +120,31 @@ def main() -> None:
                     help="synthesize a DUTS-TR/ECSSD-shaped tree")
     ap.add_argument("--data-root", default=None,
                     help="existing dataset root (overrides --dry-data)")
+    ap.add_argument("--fetch", default=None, metavar="DATASET",
+                    help="download a real dataset (e.g. ECSSD) into "
+                    "--data-root first (offline-safe: falls back to "
+                    "--dry-data when the network is unreachable; integrity "
+                    "via sod100k_tpu.data.fetch checksums)")
     ap.add_argument("--save-dir", default=None)
     ap.add_argument("--train-epochs", type=int, default=2)
     ap.add_argument("--image-hw", type=int, default=64)
     args = ap.parse_args()
-    if not args.data_root and not args.dry_data:
-        raise SystemExit("pass --data-root DIR or --dry-data")
+    if not args.data_root and not args.dry_data and not args.fetch:
+        raise SystemExit("pass --data-root DIR, --dry-data, or --fetch NAME")
     data_root = args.data_root
+    if args.fetch:
+        from sod100k_tpu.data.fetch import fetch_dataset
+
+        root = data_root or os.path.join(tempfile.gettempdir(),
+                                         "sod100k_datasets")
+        got = fetch_dataset(args.fetch, root)
+        if got is not None:
+            data_root = root
+        elif not args.dry_data:
+            raise SystemExit(f"--fetch {args.fetch}: network unreachable and "
+                             "--dry-data not given")
+        else:
+            data_root = None  # fall through to the synthetic tree
     if data_root is None:
         data_root = os.path.join(tempfile.gettempdir(), "sod100k_dry_data")
         make_dry_data(data_root)

@@ -263,7 +263,8 @@ def run_testall_resident(cfg, log=print) -> dict:
         # device-0 copy of the store on a multi-device mesh)
         data = build_resident_val_dataset(
             sd, (cfg.TEST.IMAGE_H, cfg.TEST.IMAGE_W), batch,
-            sharding=replicated(mesh) if bsh is not None else None)
+            sharding=replicated(mesh) if bsh is not None else None,
+            with_wf_tables=cfg.TPU.RESIDENT_WF)
         canvas_hw = data.pop("_canvas_hw")
         splits[ds] = (data, make_resident_salmetric_fn(
             eval_step, batch_size=batch, canvas_hw=canvas_hw,
@@ -294,6 +295,8 @@ def run_testall_resident(cfg, log=print) -> dict:
                       f"AdpF {res['adaptive_f']:.6f} "
                       f"MaxE {res['max_e']:.6f} "
                       f"S {res['s_measure']:.6f}")
+            if "weighted_f" in res:
+                report += f" wF {res['weighted_f']:.6f}"
             log(report)
             with open(os.path.join(
                     out_dir, f"FmeasureResults_{ds}_resident.txt"),

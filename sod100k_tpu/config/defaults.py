@@ -149,12 +149,19 @@ _C.TPU.PREPROCESS = "hybrid"
 _C.TPU.TEST_PREPROCESS = "host"
 # TESTALL sweeps: keep the test splits resident in HBM and evaluate each
 # checkpoint as ONE dispatch (forward -> native resize-back -> PNG-exact
-# quantization -> MAE/P/R/F/E/S on device; only metric sums read back).
+# quantization -> MAE/P/R/F/E/S/weighted-F on device; only metric sums read
+# back).
 # Produces cli.eval-format Fmeasure artifacts under distinct "_resident"
 # names (this protocol's u8-resize inputs differ sub-1/255 from the
 # reference dialect) but no PNG maps — use the default mode when the maps
 # themselves are wanted. Needs fixed TEST.IMAGE_*.
 _C.TPU.TEST_RESIDENT = False
+# include the weighted F-measure (Margolin CVPR'14) in the resident sweep:
+# GT-static tables (nearest-FG index + distance weight) are precomputed on
+# host at store-build time and kept in HBM (8 bytes per canvas pixel extra);
+# per checkpoint the sal-dependent part (gather + 7x7 Gaussian + reductions)
+# runs on device. Turn off to save HBM on very large splits.
+_C.TPU.RESIDENT_WF = True
 # keep decoded uint8 images in RAM across epochs (~18 bytes per pixel-pair;
 # DUTS-TR ~4.3 GB). JPEG decode dominates single-core host time and the
 # reference re-decodes every epoch; disable on RAM-constrained hosts.

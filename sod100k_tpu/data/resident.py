@@ -163,7 +163,8 @@ def make_resident_csf_epoch_fn(step_fn, *, batch_size: int,
 
 
 def build_resident_val_dataset(dataset, in_hw: tuple[int, int],
-                               batch_size: int, sharding=None) -> dict:
+                               batch_size: int, sharding=None,
+                               with_wf_tables: bool = False) -> dict:
     """Upload the whole val split once: model inputs at the train size
     (uint8, hybrid-dialect host resize) plus NATIVE-resolution ground truths
     padded to one canvas, so per-epoch validation needs zero host transfers.
@@ -175,7 +176,10 @@ def build_resident_val_dataset(dataset, in_hw: tuple[int, int],
 
     Returns {"image_u8": (N',h,w,3), "gt_u8": (N',H,W), "hw": (N',2) int32,
     "weight": (N',) float32} device arrays plus the canvas size under
-    "_canvas_hw" (host metadata, not uploaded)."""
+    "_canvas_hw" (host metadata, not uploaded). with_wf_tables=True adds the
+    GT-static weighted-F tables ("wf_idx" int32 (N',H*W), "wf_weight" f32
+    (N',H,W) — metrics.wfmeasure.precompute_wf_tables) so the TESTALL sweep
+    can score Fbw on device; costs 8 extra HBM bytes per canvas pixel."""
     import cv2
 
     n = len(dataset)
@@ -199,9 +203,15 @@ def build_resident_val_dataset(dataset, in_hw: tuple[int, int],
     from ..parallel.multihost import put_replicated
     put = (lambda a: put_replicated(a, sharding)) if sharding is not None \
         else jax.device_put
-    return {"image_u8": put(imgs), "gt_u8": put(gts),
-            "hw": put(hws), "weight": put(wts),
-            "_canvas_hw": (canvas_h, canvas_w)}
+    out = {"image_u8": put(imgs), "gt_u8": put(gts),
+           "hw": put(hws), "weight": put(wts),
+           "_canvas_hw": (canvas_h, canvas_w)}
+    if with_wf_tables:
+        from ..metrics.wfmeasure import precompute_wf_tables
+        tables = precompute_wf_tables(gts, hws)
+        out["wf_idx"] = put(tables["wf_idx"])
+        out["wf_weight"] = put(tables["wf_weight"])
+    return out
 
 
 def _batch_native_maps(eval_step, params, img, hw, canvas_hw):
@@ -242,7 +252,10 @@ def make_resident_salmetric_fn(eval_step, *, batch_size: int,
     eval_step: make_eval_step(lc, from_u8=True, ...). Returns
     fn(params, data) -> dict of PER-BATCH device sums, each with a leading
     (nb,) axis: {"n", "mae_sum", "p_sum"[256], "r_sum"[256], "e_sum"[256],
-    "a_sum", "s_sum"} — the cross-batch reduction happens on host in float64
+    "a_sum", "s_sum", and — when the store was built with_wf_tables —
+    "w_sum" (weighted F-measure, GT-static tables precomputed on host,
+    sal-dependent gather/conv/reduce on device)} — the cross-batch
+    reduction happens on host in float64
     (metrics.salmetric.result_from_sums) so a long f32 carry chain cannot
     drift best-epoch rankings on large splits. Counterpart of the
     reference's test.py:58-108 + eval.py + sal_metric.cpp pipeline."""
@@ -251,6 +264,7 @@ def make_resident_salmetric_fn(eval_step, *, batch_size: int,
         adaptive_f_per_image,
     )
     from sod100k_tpu.metrics.smeasure import s_measure_batch
+    from sod100k_tpu.metrics.wfmeasure import wf_per_image_device
 
     @jax.jit
     def fn(params, data):
@@ -258,13 +272,18 @@ def make_resident_salmetric_fn(eval_step, *, batch_size: int,
         hws, wts = data["hw"], data["weight"]
         nb = imgs.shape[0] // batch_size
         ch, cw = canvas_hw
-        xs = (imgs.reshape(nb, batch_size, *imgs.shape[1:]),
-              gts.reshape(nb, batch_size, *gts.shape[1:]),
-              hws.reshape(nb, batch_size, 2),
-              wts.reshape(nb, batch_size))
+        with_wf = "wf_idx" in data
+        xs = {"img": imgs.reshape(nb, batch_size, *imgs.shape[1:]),
+              "gt": gts.reshape(nb, batch_size, *gts.shape[1:]),
+              "hw": hws.reshape(nb, batch_size, 2),
+              "wt": wts.reshape(nb, batch_size)}
+        if with_wf:
+            xs["wf_idx"] = data["wf_idx"].reshape(nb, batch_size, ch * cw)
+            xs["wf_weight"] = data["wf_weight"].reshape(
+                nb, batch_size, ch, cw)
 
         def body(_, xs_b):
-            img, gt, hw, wt = xs_b
+            img, gt, hw, wt = xs_b["img"], xs_b["gt"], xs_b["hw"], xs_b["wt"]
             if batch_sharding is not None:
                 img = jax.lax.with_sharding_constraint(img, batch_sharding)
                 gt = jax.lax.with_sharding_constraint(gt, batch_sharding)
@@ -275,7 +294,7 @@ def make_resident_salmetric_fn(eval_step, *, batch_size: int,
             af = adaptive_f_per_image(sal255, gt_f, mask)
             sm = s_measure_batch(sal255 / 255.0,
                                  (gt_f > 128).astype(jnp.float32), mask)
-            return None, {
+            out = {
                 "n": jnp.sum(wt),
                 "mae_sum": jnp.sum(mae * wt),
                 "p_sum": jnp.sum(pre * wt[:, None], axis=0),
@@ -284,6 +303,11 @@ def make_resident_salmetric_fn(eval_step, *, batch_size: int,
                 "a_sum": jnp.sum(af * wt),
                 "s_sum": jnp.sum(sm * wt),
             }
+            if with_wf:
+                wf = wf_per_image_device(sal255 / 255.0, gt, mask,
+                                         xs_b["wf_idx"], xs_b["wf_weight"])
+                out["w_sum"] = jnp.sum(wf * wt)
+            return None, out
 
         _, per_batch = jax.lax.scan(body, None, xs)
         return per_batch  # leading (nb,) axis per leaf; host reduces in f64

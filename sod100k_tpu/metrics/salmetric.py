@@ -222,6 +222,8 @@ def result_from_sums(sums) -> dict:
         acc.adaptive_f = float(total(sums["a_sum"]))
     res = acc.result()
     res["s_measure"] = float(total(sums["s_sum"])) / acc.n
+    if "w_sum" in sums:
+        res["weighted_f"] = float(total(sums["w_sum"])) / acc.n
     return res
 
 

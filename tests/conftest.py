@@ -23,9 +23,17 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache (keyed by HLO + platform, so it coexists with the
 # TPU entries bench.py writes): the suite is dominated by XLA CPU compiles of
 # the big train steps — reruns hit the cache and take a fraction of the time.
+# The directory is versioned per host-CPU fingerprint: XLA:CPU AOT entries
+# from a different machine would load with SIGILL risk (utils.cache_hygiene).
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from sod100k_tpu.utils.cache_hygiene import hygienic_cache_dir  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
+                  hygienic_cache_dir(os.path.join(os.path.dirname(
+                      os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache")))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

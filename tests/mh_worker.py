@@ -35,10 +35,11 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    from sod100k_tpu.utils.cache_hygiene import hygienic_cache_dir
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".jax_cache"))
+        hygienic_cache_dir(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache")))
 
     from sod100k_tpu.parallel import multihost
 

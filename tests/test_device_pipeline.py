@@ -319,6 +319,9 @@ def test_resident_salmetric_matches_host_protocol(tmp_path):
 
     acc = SalMetricAccumulator()
     s_sum = 0.0
+    wf_sum = 0.0
+    from sod100k_tpu.metrics.wfmeasure import weighted_f_measure
+
     for i in range(len(ds)):
         img, gt = ds._decode_u8(i)
         h, w = gt.shape
@@ -330,10 +333,13 @@ def test_resident_salmetric_matches_host_protocol(tmp_path):
         s_sum += float(s_measure_batch(
             sal255[None] / 255.0, (gt[None] > 128).astype(np.float32),
             np.ones((1, h, w), np.float32))[0])
+        wf_sum += weighted_f_measure(sal255 / 255.0, gt > 128)
     host = acc.result()
     host["s_measure"] = s_sum / len(ds)
+    host["weighted_f"] = wf_sum / len(ds)
 
-    data = build_resident_val_dataset(ds, (48, 48), batch_size=2)
+    data = build_resident_val_dataset(ds, (48, 48), batch_size=2,
+                                      with_wf_tables=True)
     canvas = data.pop("_canvas_hw")
     fn = make_resident_salmetric_fn(es, batch_size=2, canvas_hw=canvas)
     got = result_from_sums(fn(params, data))
@@ -342,6 +348,7 @@ def test_resident_salmetric_matches_host_protocol(tmp_path):
     assert got["max_f"] == pytest.approx(host["max_f"], abs=1e-4)
     assert got["adaptive_f"] == pytest.approx(host["adaptive_f"], abs=1e-4)
     assert got["s_measure"] == pytest.approx(host["s_measure"], abs=1e-4)
+    assert got["weighted_f"] == pytest.approx(host["weighted_f"], abs=5e-4)
     np.testing.assert_allclose(got["precision"], host["precision"], atol=2e-4)
     np.testing.assert_allclose(got["recall"], host["recall"], atol=2e-4)
     np.testing.assert_allclose(got["emeasure"], host["emeasure"], atol=2e-4)

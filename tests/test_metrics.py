@@ -451,6 +451,44 @@ def test_weighted_f_measure_properties():
     assert got[0] != weighted_f_measure(sal_p[0], gt_p[0])
 
 
+def test_weighted_f_device_matches_host():
+    """wf_per_image_device (the resident TESTALL sweep's on-device Fbw,
+    GT-static tables precomputed on host) == weighted_f_measure_batch on
+    padded canvases, including degenerate all-background / all-foreground
+    crops. The f32 device accumulation vs the host's f64 bounds the
+    tolerance."""
+    import jax.numpy as jnp
+
+    from sod100k_tpu.metrics.wfmeasure import (
+        precompute_wf_tables,
+        weighted_f_measure_batch,
+        wf_per_image_device,
+    )
+
+    ch, cw = 40, 36
+    sizes = [(40, 36), (25, 30), (33, 18), (25, 30), (40, 36)]
+    n = len(sizes)
+    sal = np.zeros((n, ch, cw))
+    gt = np.zeros((n, ch, cw), np.uint8)
+    hw = np.asarray(sizes, np.int32)
+    mask = np.zeros((n, ch, cw), np.float32)
+    for i, (h, w) in enumerate(sizes):
+        sal[i, :h, :w] = RNG.random((h, w))
+        gt[i, :h, :w] = (RNG.random((h, w)) > 0.6).astype(np.uint8) * 255
+        mask[i, :h, :w] = 1.0
+        sal[i, h:, :] = sal[i, :, w:] = 0.7  # padding junk: must be ignored
+    gt[3] = 0                      # all-background crop -> 0 by convention
+    gt[4, :, :] = 255              # all-foreground crop
+
+    tables = precompute_wf_tables(gt, hw)
+    got = np.asarray(wf_per_image_device(
+        jnp.asarray(sal), jnp.asarray(gt), jnp.asarray(mask),
+        jnp.asarray(tables["wf_idx"]), jnp.asarray(tables["wf_weight"])))
+    want = weighted_f_measure_batch(sal, gt > 128, hw)
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-5)
+    assert got[3] == 0.0
+
+
 def test_eval_device_backend_reports_weighted_f(tmp_path):
     """evaluate_pairs_device(with_wfmeasure=True) averages the per-image
     Fbw over the listed pair count, on the unpadded images."""

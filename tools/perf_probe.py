@@ -15,7 +15,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+from sod100k_tpu.utils.cache_hygiene import hygienic_cache_dir
+
+jax.config.update("jax_compilation_cache_dir",
+                  hygienic_cache_dir("/root/repo/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import jax.numpy as jnp
@@ -215,6 +218,127 @@ def trainb():
               f"{Bb / best:.0f} img/s", flush=True)
 
 
+def _best_ms(run, x0, k=K):
+    """Best of 3 of a K-chained jitted program, tunnel-RPC subtracted."""
+    float(run(x0))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(x0))
+        best = min(best, time.perf_counter() - t0)
+    return (best - RPC) / k * 1e3
+
+
+def _cost(fn, *args):
+    """(flops, bytes accessed) of the compiled program, nan if unavailable."""
+    try:
+        c = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return (float(c.get("flops", np.nan)),
+                float(c.get("bytes accessed", np.nan)))
+    except Exception:
+        return float("nan"), float("nan")
+
+
+# v5e single-chip peaks (public: 197 bf16 TFLOP/s, 819 GB/s HBM)
+V5E_PEAK_FLOPS = 197e12
+V5E_PEAK_BW = 819e9
+
+
+def csf():
+    """CSF+Res2Net-50 @336 single-chip characterization: why is the train
+    micro-step's throughput flat ~330 img/s from B=8 to B=32, and how much
+    MFU headroom does batched inference have? Reports measured ms + compiled
+    FLOPs / bytes (XLA cost_analysis) per program variant -> MFU and HBM-BW
+    utilization against v5e peaks, plus a DCE-truncated per-stage backbone
+    decomposition (consuming only stage k's output dead-code-eliminates the
+    rest)."""
+    from sod100k_tpu.arch.csf_res2net import (
+        csf_apply,
+        csf_init,
+        res2net_features,
+    )
+    from sod100k_tpu.train.csf_step import (
+        csf_partition,
+        make_csf_optimizer,
+        make_csf_train_step,
+    )
+
+    params = csf_init(jax.random.key(3))
+    p16 = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
+    rng = np.random.default_rng(3)
+
+    def report(tag, ms, n_img, fl, by):
+        mfu = fl / (ms * 1e-3) / V5E_PEAK_FLOPS * 100
+        bwu = by / (ms * 1e-3) / V5E_PEAK_BW * 100
+        print(f"{tag}: {ms:.2f} ms = {n_img / (ms * 1e-3):.0f} img/s | "
+              f"{fl / 1e9:.0f} GF -> {mfu:.1f}% MFU | "
+              f"{by / 1e9:.2f} GB -> {bwu:.0f}% BW", flush=True)
+
+    # --- batched bf16 inference sweep -------------------------------------
+    for Bb in (1, 8, 32, 64):
+        x = jnp.asarray(rng.standard_normal(
+            (Bb, 336, 336, 3), dtype=np.float32), jnp.bfloat16)
+        fwd = lambda v: csf_apply(p16, v, "res2net50")  # noqa: E731
+        ms = _best_ms(scan_run(fwd, x), x)
+        fl, by = _cost(lambda v: jax.nn.sigmoid(fwd(v)), x)
+        report(f"infer bf16 B={Bb}", ms, Bb, fl / K, by / K)
+
+    # --- per-stage backbone decomposition at B=32 --------------------------
+    Bb = 32
+    x = jnp.asarray(rng.standard_normal(
+        (Bb, 336, 336, 3), dtype=np.float32), jnp.bfloat16)
+    prev_ms, prev_fl = 0.0, 0.0
+    for k in range(4):
+        trunc = lambda v, k=k: res2net_features(p16["base"], v)[k]  # noqa: E731
+        ms = _best_ms(scan_run(trunc, x), x)
+        fl, _ = _cost(trunc, x)
+        print(f"backbone through stage{k + 1} B={Bb}: {ms:.2f} ms "
+              f"(stage{k + 1} alone {ms - prev_ms:.2f} ms, "
+              f"{(fl - prev_fl) / 1e9:.0f} GF, "
+              f"{(fl - prev_fl) / max(ms - prev_ms, 1e-9) / 1e-3 / V5E_PEAK_FLOPS * 100:.1f}% MFU)",
+              flush=True)
+        prev_ms, prev_fl = ms, fl
+    full = lambda v: csf_apply(p16, v, "res2net50")  # noqa: E731
+    ms_full = _best_ms(scan_run(full, x), x)
+    print(f"full B={Bb}: {ms_full:.2f} ms "
+          f"(CSF head alone ~{ms_full - prev_ms:.2f} ms)", flush=True)
+
+    # --- train micro-step B=8/B=32 bf16: measured vs cost model ------------
+    trainable, state = csf_partition(params)
+    for Bb in (8, 32):
+        tx = make_csf_optimizer(iter_size=10)
+        step = make_csf_train_step(tx, iter_size=10, batch_size=Bb,
+                                   compute_dtype=jnp.bfloat16)
+        batch = {
+            "image": jnp.asarray(rng.standard_normal(
+                (Bb, 336, 336, 3), dtype=np.float32)),
+            "target": jnp.asarray(
+                (rng.random((Bb, 336, 336, 1)) > 0.5).astype(np.float32)),
+        }
+        opt_state = tx.init(trainable)
+
+        def once(c):
+            t, o = c
+            t, o, _ = step(t, state, o, batch, jnp.float32(5e-5))
+            return (t, o)
+
+        carry = jax.tree.map(lambda a: jnp.array(a, copy=True),
+                             (trainable, opt_state))
+        carry = once(carry)
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(4):
+                carry = once(carry)
+            float(np.asarray(jax.tree.leaves(carry)[0]).ravel()[0])
+            best = min(best, (time.perf_counter() - t0 - RPC) / 4)
+        fl, by = _cost(lambda t, s, o, b: step(t, s, o, b, jnp.float32(5e-5)),
+                       trainable, state, opt_state, batch)
+        report(f"train micro-step bf16 B={Bb}", best * 1e3, Bb, fl, by)
+
+
 if __name__ == "__main__":
-    {"ablate": ablate, "dwlayout": dwlayout,
-     "scatter": scatter, "trainb": trainb}[sys.argv[1]]()
+    {"ablate": ablate, "dwlayout": dwlayout, "scatter": scatter,
+     "trainb": trainb, "csf": csf}[sys.argv[1]]()

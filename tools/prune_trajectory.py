@@ -243,10 +243,11 @@ def main() -> None:
         os.path.abspath(__file__))))
     import jax
 
+    from sod100k_tpu.utils.cache_hygiene import hygienic_cache_dir
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".jax_cache"))
+        hygienic_cache_dir(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache")))
     res = run_trajectory(
         train_epochs=args.train_epochs, ft_epochs=args.ft_epochs,
         basewidth=args.basewidth, images=args.images, size=args.size,
