@@ -88,11 +88,12 @@ def _e_measure_from_counts(tp, a, b, n):
 
     Degenerate GT takes the official special cases (Fan et al.'s released
     code / PySODMetrics): all-background GT scores the prediction's
-    background fraction (perfect prediction -> 1, inverted -> 0) and
-    all-foreground GT its foreground fraction — the general closed form
-    would otherwise collapse to a prediction-independent constant 1/4
-    (dG == 0 kills the alignment term identically). We normalize by n
-    (valid pixels) rather than the official n-1; the difference is O(1/n).
+    background pixel count and all-foreground GT its foreground count — the
+    general closed form would otherwise collapse to a prediction-independent
+    constant 1/4 (dG == 0 kills the alignment term identically). The
+    normalization is the official n-1 (PySODMetrics-exact, including its
+    known oddity that degenerate-GT scores can marginally exceed 1 by
+    n/(n-1)).
     """
     eps = 1e-12
     mu_f = a / n
@@ -109,9 +110,10 @@ def _e_measure_from_counts(tp, a, b, n):
              + fp * enhanced(1 - mu_f, -mu_g)
              + fn * enhanced(-mu_f, 1 - mu_g)
              + tn * enhanced(-mu_f, -mu_g))
-    e_general = e_sum / n
-    e_empty_gt = (n - a) / n   # prediction's background pixel fraction
-    e_full_gt = a / n          # prediction's foreground pixel fraction
+    norm = n - 1.0 + eps
+    e_general = e_sum / norm
+    e_empty_gt = (n - a) / norm   # prediction's background pixel count
+    e_full_gt = a / norm          # prediction's foreground pixel count
     return jnp.where(b == 0, e_empty_gt,
                      jnp.where(b == n, e_full_gt, e_general))
 

@@ -162,15 +162,15 @@ def test_e_measure_matches_spatial_definition():
         g = (gt.astype(np.float64) > 128).astype(np.float64)
         # official degenerate-GT special cases (Fan et al. released code /
         # PySODMetrics): the alignment formula is prediction-independent
-        # when dG == 0
+        # when dG == 0. Normalization is the official n-1.
         if g.sum() == 0:
-            return (1.0 - fm).mean()
+            return (1.0 - fm).sum() / (g.size - 1)
         if g.sum() == g.size:
-            return fm.mean()
+            return fm.sum() / (g.size - 1)
         dfm = fm - fm.mean()
         dg = g - g.mean()
         align = 2 * dfm * dg / (dfm**2 + dg**2 + 1e-12)
-        return (((align + 1) ** 2) / 4).mean()
+        return (((align + 1) ** 2) / 4).sum() / (g.size - 1)
 
     acc = SalMetricAccumulator()
     for s, g in zip(sals, gts):
@@ -179,7 +179,8 @@ def test_e_measure_matches_spatial_definition():
     for th in (0, 64, 128, 200, 255):
         want = np.mean([direct_e(s, g, th) for s, g in zip(sals, gts)])
         assert res["emeasure"][th] == pytest.approx(want, rel=1e-5)
-    assert 0.0 < res["mean_e"] <= res["max_e"] <= 1.0
+    # upper bound is n/(n-1), not 1: the official normalization
+    assert 0.0 < res["mean_e"] <= res["max_e"] <= 1.0 + 1.0 / (29 * 31 - 1)
 
 
 def test_s_measure_sanity():
@@ -344,23 +345,29 @@ def test_e_measure_degenerate_gt_special_cases():
         acc.update_batch(sal[None], gt[None])
         return acc.result()["emeasure"]
 
-    # empty GT: perfect prediction (all background) -> 1 at every threshold
-    np.testing.assert_allclose(em(zeros, zeros), 1.0)
+    # the official normalization is /(n-1): perfect degenerate scores land
+    # at n/(n-1), marginally above 1 (a known PySODMetrics oddity we
+    # reproduce exactly)
+    n = float(h * w)
+    top = n / (n - 1)
+    # empty GT: perfect prediction (all background) -> n/(n-1) everywhere
+    np.testing.assert_allclose(em(zeros, zeros), top, rtol=1e-6)
     # empty GT: worst prediction (all foreground) -> 0 below saturation
     e = em(full, zeros)
-    assert np.all(e[:255] == 0.0) and e[255] == 1.0  # sal > 255 is empty
-    # full-fg GT: perfect prediction -> 1 below saturation
+    assert np.all(e[:255] == 0.0)
+    np.testing.assert_allclose(e[255], top, rtol=1e-6)  # sal > 255 is empty
+    # full-fg GT: perfect prediction -> n/(n-1) below saturation
     e = em(full, full)
-    assert np.all(e[:255] == 1.0) and e[255] == 0.0
+    np.testing.assert_allclose(e[:255], top, rtol=1e-6)
+    assert e[255] == 0.0
     # full-fg GT: worst prediction -> 0
     np.testing.assert_allclose(em(zeros, full), 0.0)
 
-    # a half-covered prediction on empty GT scores its background fraction
+    # a half-covered prediction on empty GT scores its background count/(n-1)
     half = np.zeros((h, w), np.float32)
     half[: h // 2] = 255.0
-    frac_bg = 1.0 - (h // 2) * w / (h * w)
-    np.testing.assert_allclose(em(half, zeros)[:255],
-                               frac_bg, rtol=1e-6)
+    want = (n - (h // 2) * w) / (n - 1)
+    np.testing.assert_allclose(em(half, zeros)[:255], want, rtol=1e-6)
 
 
 def _wfm_oracle(sal, fg):
