@@ -152,6 +152,55 @@ def test_native_salmetric_matches_brute_force(tmp_path):
     assert float(tail[6].split()[1]) == pytest.approx(want["mae"], abs=1e-5)
 
 
+@pytest.mark.skipif(shutil.which("make") is None, reason="no make")
+def test_compiled_extension_matches_ctypes(tmp_path):
+    """The CPython extension module (py_salmetric.cc) must return the exact
+    dict the ctypes C-ABI path does, and expose the reference Cython
+    binding's PySalMetric class surface (salmetric.pyx)."""
+    cv2 = pytest.importorskip("cv2")
+    from sod100k_tpu.metrics import native
+
+    ext = native.load_extension()
+    if ext is None:
+        pytest.skip("extension unavailable (no toolchain/Python headers)")
+    sals, gts = _synthetic(n=4, hw=(19, 23))
+    sal_paths, gt_paths = [], []
+    for i, (s, g) in enumerate(zip(sals, gts)):
+        sp, gp = str(tmp_path / f"{i}_s.png"), str(tmp_path / f"{i}_g.png")
+        cv2.imwrite(sp, s)
+        cv2.imwrite(gp, g)
+        sal_paths.append(sp)
+        gt_paths.append(gp)
+
+    via_ext = ext.do_evaluation(2, sal_paths, gt_paths, print_stdout=False)
+    lib = native._load()  # force the ctypes path for comparison
+    import ctypes
+
+    n = len(sal_paths)
+    sal_arr = (ctypes.c_char_p * n)(*[s.encode() for s in sal_paths])
+    gt_arr = (ctypes.c_char_p * n)(*[s.encode() for s in gt_paths])
+    out = (ctypes.c_double * (7 + 512))()
+    rc = lib.salmetric_evaluate(sal_arr, gt_arr, n, 2, 0, out)
+    assert rc == via_ext["images"] == 4
+    assert via_ext["mae"] == out[0]
+    assert via_ext["max_f"] == out[1]
+    np.testing.assert_array_equal(via_ext["precision"], list(out[7:7 + 256]))
+
+    # the stateful class surface of the reference binding
+    m = ext.PySalMetric(num_thread=2)
+    m.load_list(sal_paths, gt_paths)
+    got = m.do_evaluation()
+    assert got["mae"] == via_ext["mae"]
+    m.set_num_thread(1)
+    assert m.do_evaluation()["max_f"] == via_ext["max_f"]
+
+    # type errors surface as Python exceptions, not crashes
+    with pytest.raises(TypeError):
+        ext.do_evaluation(2, [1, 2], gt_paths, print_stdout=False)
+    with pytest.raises(ValueError):
+        ext.do_evaluation(2, [], [], print_stdout=False)
+
+
 def test_e_measure_matches_spatial_definition():
     """Closed-form E over confusion counts == the direct spatial computation
     of the enhanced-alignment measure on binarized maps."""
