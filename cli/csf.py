@@ -130,7 +130,8 @@ def run_csf_train(config, log=print) -> dict:
     step = make_csf_train_step(tx, backbone=config.arch,
                                iter_size=config.iter_size,
                                batch_size=config.batch_size,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype,
+                               remat=getattr(config, "remat", False))
 
     # TPU-native scale-out (--mesh_shape / --mesh_devices): --mesh_shape DxS
     # builds the 2-D data x spatial mesh — batch over data, image H over
@@ -221,7 +222,8 @@ def run_csf_train(config, log=print) -> dict:
                                       iter_size=config.iter_size,
                                       batch_size=config.batch_size,
                                       donate=False,
-                                      compute_dtype=compute_dtype)
+                                      compute_dtype=compute_dtype,
+                                      remat=getattr(config, "remat", False))
         from sod100k_tpu.parallel.mesh import epoch_feed_sharding
 
         # data axis + (on a 2-D --mesh_shape mesh) image H on the spatial
@@ -552,6 +554,13 @@ def main() -> None:
                         help="compute dtype for forward/backward; params, "
                              "frozen BN state and optimizer stay float32 "
                              "(the CSNet driver's TPU.DTYPE equivalent)")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize the forward during backward "
+                             "(jax.checkpoint) to cut peak HBM: fits larger "
+                             "batches / native-size images at a measured "
+                             "~25%% step-time cost (the step is HBM-BW-"
+                             "bound and recomputed activations spill back "
+                             "to HBM); identical gradients")
     parser.add_argument("--test_batch", type=int, default=1,
                         help="test-mode batch size: >1 batches consecutive "
                              "same-shape images per dispatch (bit-identical "

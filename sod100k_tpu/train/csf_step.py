@@ -120,21 +120,36 @@ def bce2d(logits, target, reduction: str = "none"):
 def make_csf_train_step(tx: optax.GradientTransformation, *,
                         backbone: str = "res2net50",
                         iter_size: int = 10, batch_size: int = 1,
-                        donate: bool = True, compute_dtype=None):
+                        donate: bool = True, compute_dtype=None,
+                        remat: bool = False):
     """Jitted micro-batch step. batch: {"image","target"} (+optional "mask"
     over pixels for padded batches); loss = sum(BCE * mask)/(iter*batch).
 
     ``compute_dtype=jnp.bfloat16`` runs the forward/backward in mixed
     precision (activations bf16 — the ops cast weights to the activation
     dtype and the convs accumulate in f32; params, frozen-BN state, loss and
-    optimizer moments stay f32), mirroring the CSNet step's TPU.DTYPE."""
+    optimizer moments stay f32), mirroring the CSNet step's TPU.DTYPE.
+
+    ``remat=True`` wraps the forward in jax.checkpoint (nothing_saveable):
+    the backward recomputes activations instead of keeping them. This is a
+    MEMORY lever, not a speed lever — measured (tools/perf_probe.py csf,
+    v5e): bf16 B=32 127 ms vs the plain step's 98 ms. The step is
+    HBM-bandwidth-bound, and at these activation sizes the recomputed
+    tensors spill back to HBM instead of staying in VMEM, so full remat
+    *adds* traffic (cost model: 109 vs 86 GB) while cutting peak HBM by the
+    saved residuals. Use it to fit larger batches / native-size images;
+    identical gradients either way (``--remat`` in cli.csf)."""
+    fwd = lambda p, im: csf_apply(p, im, backbone)  # noqa: E731
+    if remat:
+        fwd = jax.checkpoint(
+            fwd, policy=jax.checkpoint_policies.nothing_saveable)
 
     def loss_fn(trainable, state, batch):
         params = merge(trainable, state)
         image = batch["image"]
         if compute_dtype is not None:
             image = image.astype(compute_dtype)
-        logits = csf_apply(params, image, backbone).astype(jnp.float32)
+        logits = fwd(params, image).astype(jnp.float32)
         bce = optax.sigmoid_binary_cross_entropy(
             logits, batch["target"].astype(jnp.float32))
         if "mask" in batch:

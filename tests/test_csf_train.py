@@ -67,6 +67,31 @@ def test_csf_grad_accumulation_updates_every_k():
     assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
 
 
+def test_csf_remat_step_matches_plain():
+    """--remat (jax.checkpoint'd forward) must change only the schedule,
+    not the math: identical loss and updated params vs the plain step."""
+    params = _params()
+    trainable, state = csf_partition(params)
+    rng = np.random.default_rng(1)
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32)),
+        "target": jnp.asarray((rng.random((2, 32, 32, 1)) > 0.5).astype(np.float32)),
+    }
+    results = {}
+    for remat in (False, True):
+        tx = make_csf_optimizer(iter_size=1)
+        opt_state = tx.init(trainable)
+        step = make_csf_train_step(tx, iter_size=1, batch_size=2,
+                                   donate=False, remat=remat)
+        t, _, m = step(trainable, state, opt_state, batch, jnp.float32(5e-5))
+        results[remat] = (float(m["loss"]), t)
+    assert results[False][0] == results[True][0]
+    for a, b in zip(jax.tree.leaves(results[False][1]),
+                    jax.tree.leaves(results[True][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-7)
+
+
 def test_csf_masked_loss_equals_native():
     """Padded-batch masked-sum BCE == native-size sum BCE."""
     import optax

@@ -130,6 +130,18 @@ def bench_inference_latency(entries: list) -> None:
     entries.append({"metric": "csf_res2net50_336_infer_latency_ms[bf16,B=1]",
                     "value": round(ms, 3), "unit": "ms"})
 
+    # batched CSF throughput (the reference's FPS protocol is serial B=1,
+    # solver.py:62-78; this is the TPU serving number — HBM-BW-bound at
+    # B=32, see tools/perf_probe.py csf / docs/DESIGN.md)
+    xb = jnp.asarray(np.random.default_rng(4).standard_normal(
+        (32, 336, 336, 3), dtype=np.float32), jnp.bfloat16)
+    ms = scan_latency(
+        lambda v: jax.nn.sigmoid(csf_apply(c16, v, "res2net50")), xb, k=20) * 1e3
+    print(f"# csf_res2net50 B=32 336 bf16: {ms:.2f} ms/batch "
+          f"({32e3 / ms:.0f} img/s)", file=sys.stderr)
+    entries.append({"metric": "csf_res2net50_336_infer_img_per_sec[bf16,B=32]",
+                    "value": round(32e3 / ms, 1), "unit": "images/sec"})
+
 
 def bench_serving_artifact(entries: list) -> None:
     """Exported StableHLO artifact throughput: the deployment path (weights

@@ -282,8 +282,10 @@ def csf():
             (Bb, 336, 336, 3), dtype=np.float32), jnp.bfloat16)
         fwd = lambda v: csf_apply(p16, v, "res2net50")  # noqa: E731
         ms = _best_ms(scan_run(fwd, x), x)
+        # _cost is on the single (un-scanned) forward: do NOT divide by K —
+        # _best_ms already reports per-iteration time.
         fl, by = _cost(lambda v: jax.nn.sigmoid(fwd(v)), x)
-        report(f"infer bf16 B={Bb}", ms, Bb, fl / K, by / K)
+        report(f"infer bf16 B={Bb}", ms, Bb, fl, by)
 
     # --- per-stage backbone decomposition at B=32 --------------------------
     Bb = 32
@@ -306,11 +308,16 @@ def csf():
           f"(CSF head alone ~{ms_full - prev_ms:.2f} ms)", flush=True)
 
     # --- train micro-step B=8/B=32 bf16: measured vs cost model ------------
+    # remat A/B: recomputing the forward during backward (nothing_saveable)
+    # was the natural hypothesis for a BW-bound low-MFU step — measured, it
+    # LOSES (B=32: 127 vs 98 ms) because the recomputed activations spill
+    # back to HBM instead of staying in VMEM, adding traffic. Kept as the
+    # regression check for that conclusion.
     trainable, state = csf_partition(params)
-    for Bb in (8, 32):
+    for Bb, remat in ((8, False), (32, False), (8, True), (32, True)):
         tx = make_csf_optimizer(iter_size=10)
         step = make_csf_train_step(tx, iter_size=10, batch_size=Bb,
-                                   compute_dtype=jnp.bfloat16)
+                                   compute_dtype=jnp.bfloat16, remat=remat)
         batch = {
             "image": jnp.asarray(rng.standard_normal(
                 (Bb, 336, 336, 3), dtype=np.float32)),
@@ -336,7 +343,8 @@ def csf():
             best = min(best, (time.perf_counter() - t0 - RPC) / 4)
         fl, by = _cost(lambda t, s, o, b: step(t, s, o, b, jnp.float32(5e-5)),
                        trainable, state, opt_state, batch)
-        report(f"train micro-step bf16 B={Bb}", best * 1e3, Bb, fl, by)
+        tag = "remat" if remat else "plain"
+        report(f"train micro-step bf16 B={Bb} [{tag}]", best * 1e3, Bb, fl, by)
 
 
 if __name__ == "__main__":
