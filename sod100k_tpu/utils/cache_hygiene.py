@@ -15,6 +15,18 @@ across machines (driver host vs build container on one filesystem) never
 loads a foreign AOT entry AND never purges another host's warm entries.
 Pre-hygiene entries at the directory root (unknown provenance) are removed
 once.
+
+One residual, MEASURED to be same-host noise (r4): this XLA build's AOT
+loader warns "Target machine feature +prefer-no-gather/-scatter is not
+supported on the host machine ... could lead to SIGILL" even when reloading
+an entry the SAME process family wrote seconds earlier into a fresh cache
+dir. Those two names are LLVM *tuning* flags the compile-side TargetMachine
+records but the loader-side host-feature enumeration (cpuid-derived) never
+lists — no cache partitioning can reconcile them. They are harmless
+(tuning preferences, not ISA requirements). is_benign_aot_loader_line()
+classifies exactly that artifact so callers that forward child stderr (the
+multichip dry-run bootstrap) can drop the noise while passing REAL feature
+mismatches (e.g. a missing +avx512f) through untouched.
 """
 
 from __future__ import annotations
@@ -22,6 +34,7 @@ from __future__ import annotations
 import hashlib
 import os
 import platform
+import re
 
 
 def host_cpu_fingerprint() -> str:
@@ -63,3 +76,24 @@ def hygienic_cache_dir(base: str) -> str:
             except FileNotFoundError:
                 pass  # another process cleaning concurrently
     return d
+
+
+# LLVM tuning preferences (not ISA features): the AOT compile side records
+# them in the TargetMachine feature string, the loader's cpuid-based host
+# enumeration never lists them, so every same-host cache reload "mismatches"
+# on exactly these. Measured benign (r4): fresh cache dir, same host, entry
+# written seconds earlier — warning still fires, execution is correct.
+_BENIGN_AOT_TUNING_FLAGS = ("prefer-no-gather", "prefer-no-scatter")
+
+_AOT_LOADER_RE = re.compile(
+    r"cpu_aot_loader.*Target machine feature \+(\S+) is not +supported")
+
+
+def is_benign_aot_loader_line(line: str) -> bool:
+    """True iff `line` is the known-benign XLA:CPU AOT loader warning: a
+    cpu_aot_loader feature-mismatch complaint whose named feature is one of
+    the LLVM tuning flags above. A mismatch on any REAL ISA feature (e.g.
+    +avx512f missing on the host) returns False and must stay visible —
+    that is the genuine SIGILL hazard the fingerprint directories prevent."""
+    m = _AOT_LOADER_RE.search(line)
+    return bool(m) and m.group(1) in _BENIGN_AOT_TUNING_FLAGS
