@@ -120,11 +120,15 @@ def main() -> None:
                     help="synthesize a DUTS-TR/ECSSD-shaped tree")
     ap.add_argument("--data-root", default=None,
                     help="existing dataset root (overrides --dry-data)")
-    ap.add_argument("--fetch", default=None, metavar="DATASET",
-                    help="download a real dataset (e.g. ECSSD) into "
-                    "--data-root first (offline-safe: falls back to "
-                    "--dry-data when the network is unreachable; integrity "
-                    "via sod100k_tpu.data.fetch checksums)")
+    ap.add_argument("--fetch", default=None, metavar="DATASETS",
+                    help="comma-separated datasets to download into "
+                    "--data-root first, or 'all' for everything the smoke "
+                    "needs (DUTS-TR for train + ECSSD for val/test). "
+                    "Offline-safe: falls back to --dry-data when the "
+                    "network is unreachable; integrity via "
+                    "sod100k_tpu.data.fetch checksums. A split the smoke "
+                    "needs but you did not fetch is synthesized under "
+                    "--dry-data, otherwise rejected up front.")
     ap.add_argument("--save-dir", default=None)
     ap.add_argument("--train-epochs", type=int, default=2)
     ap.add_argument("--image-hw", type=int, default=64)
@@ -133,18 +137,46 @@ def main() -> None:
         raise SystemExit("pass --data-root DIR, --dry-data, or --fetch NAME")
     data_root = args.data_root
     if args.fetch:
-        from sod100k_tpu.data.fetch import fetch_dataset
+        from sod100k_tpu.data.fetch import DATASETS, fetch_dataset
+        from sod100k_tpu.data.synth import make_synth_split
 
+        # the smoke chain needs BOTH splits: DATA.DIR=<root>/DUTS-TR and
+        # VAL.DIR/TEST=<root>/ECSSD (run_smoke) — fetching only one would
+        # otherwise crash mid-run after the download finished
+        needed = ("DUTS-TR", "ECSSD")
+        names = (list(needed) if args.fetch == "all"
+                 else [n.strip() for n in args.fetch.split(",") if n.strip()])
+        unknown = [n for n in names if n not in DATASETS]
+        if unknown:
+            raise SystemExit(f"--fetch: unknown dataset(s) {unknown}; "
+                             f"available: {', '.join(sorted(DATASETS))}")
         root = data_root or os.path.join(tempfile.gettempdir(),
                                          "sod100k_datasets")
-        got = fetch_dataset(args.fetch, root)
-        if got is not None:
+        fetched_any = False
+        for n in names:
+            if fetch_dataset(n, root) is not None:
+                fetched_any = True
+            elif not args.dry_data:
+                raise SystemExit(f"--fetch {n}: network unreachable and "
+                                 "--dry-data not given")
+        if fetched_any:
+            # fill splits the smoke needs but that weren't fetched: synth
+            # them under --dry-data, otherwise fail before training starts
+            for n in needed:
+                if os.path.isdir(os.path.join(root, n, "images")):
+                    continue
+                if args.dry_data:
+                    make_synth_split(os.path.join(root, n), 12 if
+                                     n == "DUTS-TR" else 6, hw=(96, 128),
+                                     jitter=15, seed=3 + (n == "ECSSD"))
+                else:
+                    raise SystemExit(
+                        f"--fetch: the smoke also needs {n}/ under {root} "
+                        f"(fetch it too, e.g. --fetch all, or add "
+                        f"--dry-data to synthesize the missing split)")
             data_root = root
-        elif not args.dry_data:
-            raise SystemExit(f"--fetch {args.fetch}: network unreachable and "
-                             "--dry-data not given")
         else:
-            data_root = None  # fall through to the synthetic tree
+            data_root = None  # offline: fall through to the synthetic tree
     if data_root is None:
         data_root = os.path.join(tempfile.gettempdir(), "sod100k_dry_data")
         make_dry_data(data_root)

@@ -264,8 +264,13 @@ def run_testall_resident(cfg, log=print) -> dict:
         data = build_resident_val_dataset(
             sd, (cfg.TEST.IMAGE_H, cfg.TEST.IMAGE_W), batch,
             sharding=replicated(mesh) if bsh is not None else None,
-            with_wf_tables=cfg.TPU.RESIDENT_WF)
+            with_wf_tables=cfg.TPU.RESIDENT_WF,
+            wf_budget_bytes=cfg.TPU.RESIDENT_WF_MAX_MIB * 2**20)
         canvas_hw = data.pop("_canvas_hw")
+        wf_skipped = data.pop("_wf_skipped", None)
+        if wf_skipped:
+            log(f"resident test split {ds}: weighted-F SKIPPED — "
+                f"{wf_skipped}")
         splits[ds] = (data, make_resident_salmetric_fn(
             eval_step, batch_size=batch, canvas_hw=canvas_hw,
             batch_sharding=bsh))

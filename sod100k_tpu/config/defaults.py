@@ -162,6 +162,10 @@ _C.TPU.TEST_RESIDENT = False
 # per checkpoint the sal-dependent part (gather + 7x7 Gaussian + reductions)
 # runs on device. Turn off to save HBM on very large splits.
 _C.TPU.RESIDENT_WF = True
+# HBM budget for those wF tables, MiB (0 = unlimited): a DUTS-TE-sized
+# split (~5k images at ~500^2 canvas) would need ~10 GB — over budget the
+# sweep skips wF with a log line instead of OOMing, and the report says so.
+_C.TPU.RESIDENT_WF_MAX_MIB = 4096
 # keep decoded uint8 images in RAM across epochs (~18 bytes per pixel-pair;
 # DUTS-TR ~4.3 GB). JPEG decode dominates single-core host time and the
 # reference re-decodes every epoch; disable on RAM-constrained hosts.

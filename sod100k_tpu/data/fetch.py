@@ -110,6 +110,9 @@ def fetch_dataset(name: str, root: str, timeout: float = 120.0,
     `expected`: optional {archive key: sha256} pins; otherwise digests are
     trust-on-first-use via `root`/CHECKSUMS.json. Already-complete trees
     are returned without touching the network."""
+    if name not in DATASETS:
+        raise ValueError(f"unknown dataset {name!r}; available: "
+                         f"{', '.join(sorted(DATASETS))}")
     spec = DATASETS[name]
     ds_dir = os.path.join(root, name)
     img_dir, gt_dir = os.path.join(ds_dir, "images"), os.path.join(ds_dir, "GT")
@@ -143,15 +146,27 @@ def fetch_dataset(name: str, root: str, timeout: float = 120.0,
         sums[f"{name}/{key}"] = digest
         out = img_dir if key == "images" else gt_dir
         exts = (".jpg", ".jpeg") if key == "images" else (".png",)
-        n = _extract_flat(arc, out, exts, arc_spec.get("prefix"))
+        try:
+            n = _extract_flat(arc, out, exts, arc_spec.get("prefix"))
+        except zipfile.BadZipFile:
+            # e.g. an HTML error page served with HTTP 200: not a zip.
+            # Remove it so a retry re-downloads instead of crashing on the
+            # cached garbage forever, and keep the offline contract (None).
+            os.remove(arc)
+            log(f"[fetch] {name}/{key}: downloaded file is not a zip "
+                "(HTML error page?) — removed, not extracted")
+            return None
         log(f"[fetch] {name}/{key}: {n} files -> {out} "
             f"(sha256 {digest[:12]})")
 
-    with open(sums_path, "w") as f:
-        json.dump(sums, f, indent=1, sort_keys=True)
     if not _tree_ok(img_dir, gt_dir, spec["count"]):
         log(f"[fetch] {name}: extracted tree failed validation")
         return None
+    # pin digests only AFTER structural validation: a truncated-but-valid
+    # zip must not have its digest trust-on-first-use-pinned, or a later
+    # correct download would be rejected against the bad pin forever
+    with open(sums_path, "w") as f:
+        json.dump(sums, f, indent=1, sort_keys=True)
     return ds_dir
 
 

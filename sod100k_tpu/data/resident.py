@@ -164,7 +164,8 @@ def make_resident_csf_epoch_fn(step_fn, *, batch_size: int,
 
 def build_resident_val_dataset(dataset, in_hw: tuple[int, int],
                                batch_size: int, sharding=None,
-                               with_wf_tables: bool = False) -> dict:
+                               with_wf_tables: bool = False,
+                               wf_budget_bytes: int | None = None) -> dict:
     """Upload the whole val split once: model inputs at the train size
     (uint8, hybrid-dialect host resize) plus NATIVE-resolution ground truths
     padded to one canvas, so per-epoch validation needs zero host transfers.
@@ -179,7 +180,10 @@ def build_resident_val_dataset(dataset, in_hw: tuple[int, int],
     "_canvas_hw" (host metadata, not uploaded). with_wf_tables=True adds the
     GT-static weighted-F tables ("wf_idx" int32 (N',H*W), "wf_weight" f32
     (N',H,W) — metrics.wfmeasure.precompute_wf_tables) so the TESTALL sweep
-    can score Fbw on device; costs 8 extra HBM bytes per canvas pixel."""
+    can score Fbw on device; costs 8 extra HBM bytes per canvas pixel.
+    When `wf_budget_bytes` is set and the tables would exceed it, they are
+    skipped and the reason lands under "_wf_skipped" (host metadata) — a
+    DUTS-TE-sized split would otherwise silently claim ~10 GB of HBM."""
     import cv2
 
     n = len(dataset)
@@ -207,10 +211,17 @@ def build_resident_val_dataset(dataset, in_hw: tuple[int, int],
            "hw": put(hws), "weight": put(wts),
            "_canvas_hw": (canvas_h, canvas_w)}
     if with_wf_tables:
-        from ..metrics.wfmeasure import precompute_wf_tables
-        tables = precompute_wf_tables(gts, hws)
-        out["wf_idx"] = put(tables["wf_idx"])
-        out["wf_weight"] = put(tables["wf_weight"])
+        wf_bytes = n_pad * canvas_h * canvas_w * 8  # int32 idx + f32 weight
+        if wf_budget_bytes and wf_bytes > wf_budget_bytes:
+            out["_wf_skipped"] = (
+                f"wF tables need {wf_bytes / 2**20:.0f} MiB of HBM > budget "
+                f"{wf_budget_bytes / 2**20:.0f} MiB "
+                "(raise TPU.RESIDENT_WF_MAX_MIB, or 0 for unlimited)")
+        else:
+            from ..metrics.wfmeasure import precompute_wf_tables
+            tables = precompute_wf_tables(gts, hws)
+            out["wf_idx"] = put(tables["wf_idx"])
+            out["wf_weight"] = put(tables["wf_weight"])
     return out
 
 

@@ -353,6 +353,18 @@ def test_resident_salmetric_matches_host_protocol(tmp_path):
     np.testing.assert_allclose(got["recall"], host["recall"], atol=2e-4)
     np.testing.assert_allclose(got["emeasure"], host["emeasure"], atol=2e-4)
 
+    # HBM budget guard: over-budget wF tables are skipped with a reason
+    # (TPU.RESIDENT_WF_MAX_MIB) instead of claiming 8 B/canvas-px silently
+    small = build_resident_val_dataset(ds, (48, 48), batch_size=2,
+                                       with_wf_tables=True,
+                                       wf_budget_bytes=16)
+    assert "wf_idx" not in small and "wf_weight" not in small
+    assert "MiB" in small["_wf_skipped"]
+    big = build_resident_val_dataset(ds, (48, 48), batch_size=2,
+                                     with_wf_tables=True,
+                                     wf_budget_bytes=1 << 30)
+    assert "wf_idx" in big and "_wf_skipped" not in big
+
 
 def test_eval_step_quantize_u8_matches_float_path():
     """quantize_u8 (cli.test hybrid/device modes, 4x smaller readback) is

@@ -75,6 +75,41 @@ def test_fetch_offline_returns_none(tmp_path, monkeypatch):
                            log=lambda *_: None) is None
 
 
+def test_fetch_unknown_name_lists_choices():
+    with pytest.raises(ValueError, match="ECSSD"):
+        F.fetch_dataset("ecssd", "/tmp/nowhere")  # lowercase typo
+
+
+def test_fetch_bad_zip_removed_not_cached(tiny_spec, tmp_path):
+    """An HTML error page saved as the archive (HTTP 200 lies) must not
+    crash, and must be deleted so a retry re-downloads it."""
+    root = tmp_path / "data3"
+    arc = root / "TINY" / "images.zip"
+    arc.parent.mkdir(parents=True)
+    arc.write_bytes(b"<html>404 not found, honest</html>")
+    logs = []
+    assert F.fetch_dataset("TINY", str(root), log=logs.append) is None
+    assert not arc.exists()  # garbage evicted -> retry can succeed
+    assert any("not a zip" in m for m in logs)
+    # retry now re-downloads the real archive and completes
+    assert F.fetch_dataset("TINY", str(root), log=logs.append) is not None
+
+
+def test_fetch_no_pin_on_failed_validation(tiny_spec, tmp_path, monkeypatch):
+    """A structurally-short archive must NOT get its digest TOFU-pinned:
+    after the mirror is fixed, the correct archive must be accepted."""
+    monkeypatch.setitem(F.DATASETS["TINY"], "count", 99)  # force failure
+    root = str(tmp_path / "data4")
+    assert F.fetch_dataset("TINY", root, log=lambda *_: None) is None
+    assert not os.path.isfile(os.path.join(root, "CHECKSUMS.json"))
+    # "mirror fixed": real count again -> same archives now validate and pin
+    monkeypatch.setitem(F.DATASETS["TINY"], "count", 5)
+    import shutil
+    shutil.rmtree(os.path.join(root, "TINY"))
+    assert F.fetch_dataset("TINY", root, log=lambda *_: None) is not None
+    assert os.path.isfile(os.path.join(root, "CHECKSUMS.json"))
+
+
 def test_fetch_shared_archive_with_prefixes(tmp_path, monkeypatch):
     """The DUTS-TR layout: ONE zip carrying both image and mask subtrees,
     selected by member prefix; downloads (copies) once."""

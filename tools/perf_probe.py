@@ -31,14 +31,9 @@ RPC = 0.035
 
 def timeit(tag, run, x0):
     t0 = time.perf_counter()
-    float(run(x0))
+    float(run(x0))  # compile + first run (also _best_ms's warmup contract)
     c = time.perf_counter() - t0
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(run(x0))
-        best = min(best, time.perf_counter() - t0)
-    print(f"{tag}: {(best - RPC) / K * 1e3:.2f} ms/batch (compile {c:.0f}s)",
+    print(f"{tag}: {_best_ms(run, x0):.2f} ms/batch (compile {c:.0f}s)",
           flush=True)
 
 
