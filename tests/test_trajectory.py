@@ -157,7 +157,7 @@ def _torch_loss(model, img, gt):
     y = torch.from_numpy(gt.transpose(0, 3, 1, 2).copy())
     out = model(x)
     bce = torch.nn.functional.binary_cross_entropy_with_logits(out, y)
-    return bce + FW * model.get_flops(), float(bce)
+    return bce + FW * model.get_flops(), float(bce.detach())
 
 
 def _our_loss_fn(trainable, state, batch):
