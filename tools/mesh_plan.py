@@ -138,9 +138,17 @@ def lower_csnet_step(mesh, *, per_dev_batch: int, hw: int, width: int):
     return lowered.compile().as_text(), 4 * n_grad
 
 
-def lower_csf_step(mesh, *, per_dev_batch: int, hw: int):
+def lower_csf_step(mesh, *, per_dev_batch: int, hw: int,
+                   iter_size: int = 10):
     """Lower the PRODUCT CSF micro-step (summed grad accumulation, frozen
-    BN) over `mesh`; returns (optimized HLO text, grad bytes)."""
+    BN) over `mesh`; returns (optimized HLO text, grad bytes).
+
+    ``iter_size=1`` is the FOLDED schedule: because the loss sums BCE over
+    samples / (iter_size*batch) and the frozen-BN forward has no cross-
+    sample coupling, K micro-steps of batch b are mathematically identical
+    to one step of batch K*b (tests/test_csf_train.py::
+    test_csf_iter_size_folds_into_batch) — and the folded program pays ONE
+    gradient all-reduce per optimizer step instead of K."""
     import jax
     import jax.numpy as jnp
 
@@ -160,10 +168,11 @@ def lower_csf_step(mesh, *, per_dev_batch: int, hw: int):
     check_spatial_extent(hw, 16, spatial, what="csf")
     params = csf_init(jax.random.key(1))
     trainable, state = csf_partition(params)
-    tx = make_csf_optimizer(iter_size=10)
+    tx = make_csf_optimizer(iter_size=iter_size)
     opt_state = tx.init(trainable)
     B = per_dev_batch * mesh.shape["data"]
-    step = make_csf_train_step(tx, iter_size=10, batch_size=B, donate=False)
+    step = make_csf_train_step(tx, iter_size=iter_size, batch_size=B,
+                               donate=False)
 
     rep = replicated(mesh)
     bsh = feed_sharding(mesh, 4)
@@ -196,16 +205,19 @@ def predict(inv: dict, n_devices: int, step_ms: float,
             "t_ici_ms": t_ici_ms, "weak_scaling_eff": eff}
 
 
-# measured single-chip step times for the weak-scaling prediction
-# (tools/bench_reference.json rows; per-device batch matches them)
+# measured single-chip PER-IMAGE times for the weak-scaling prediction
+# (tools/bench_reference.json rows). The per-dispatch compute time scales
+# linearly with the per-device batch — measured flat img/s across batch for
+# both families (CLAUDE.md / DESIGN §7d), so the extrapolation is safe.
 _MEASURED = {
     "csnet": ("csnet_l_x2_224_train_step_img_per_sec[bf16,B=128]",
-              lambda v: 128.0 / v * 1e3),  # img/s -> ms/step at B=128
-    "csf": ("csf_res2net50_336_train_microstep_ms[bf16,B=8]", lambda v: v),
+              lambda v: 1e3 / v),  # img/s -> ms/img
+    "csf": ("csf_res2net50_336_train_microstep_ms[bf16,B=8]",
+            lambda v: v / 8.0),
 }
 
 
-def _measured_step_ms(family: str) -> float:
+def _measured_per_img_ms(family: str) -> float:
     import json
 
     with open(os.path.join(REPO, "tools", "bench_reference.json")) as f:
@@ -214,31 +226,47 @@ def _measured_step_ms(family: str) -> float:
     return to_ms(ref[key])
 
 
+# (family, schedule label, per-device batch per dispatch, kwargs)
+def _schedules(family: str, tiny: bool) -> list:
+    if family == "csnet":
+        per_dev, hw, width = (2, 32, 8) if tiny else (128, 224, 40)
+        return [("", per_dev,
+                 dict(per_dev_batch=per_dev, hw=hw, width=width))]
+    per_dev, hw = (2, 96) if tiny else (8, 336)
+    # reference schedule: iter_size accumulation -> one all-reduce PER
+    # MICRO-STEP; folded schedule: same math (tested), one per optimizer
+    # step, so the dispatch covers iter_size x the images
+    return [("micro-step (iter_size=10)", per_dev,
+             dict(per_dev_batch=per_dev, hw=hw, iter_size=10)),
+            ("folded (iter->batch)", per_dev * 10,
+             dict(per_dev_batch=per_dev * 10, hw=hw, iter_size=1))]
+
+
 def run_plan(family: str, meshes: list, *, tiny: bool,
              ici_bw: float, log=print) -> list:
     rows = []
-    for d, s in meshes:
-        n = d * s
-        if family == "csnet":
-            per_dev, hw, width = (2, 32, 8) if tiny else (128, 224, 40)
-            txt, grad_bytes = lower_csnet_step(
-                _mesh(d, s), per_dev_batch=per_dev, hw=hw, width=width)
-        else:
-            per_dev, hw = (2, 96) if tiny else (8, 336)
-            txt, grad_bytes = lower_csf_step(
-                _mesh(d, s), per_dev_batch=per_dev, hw=hw)
-        inv = collective_inventory(txt)
-        step_ms = float("nan") if tiny else _measured_step_ms(family)
-        p = predict(inv, n, step_ms, ici_bw)
-        rows.append({"family": family, "mesh": f"{d}x{s}", "devices": n,
-                     "grad_mb": grad_bytes / 2**20,
-                     "inventory": inv, **p, "step_ms": step_ms})
-        counts = ", ".join(f"{k} x{v['count']} ({v['bytes'] / 2**20:.2f} MB)"
-                           for k, v in sorted(inv.items()))
-        log(f"{family} mesh {d}x{s}: {counts or 'no collectives'}")
-        log(f"  grad bytes {rows[-1]['grad_mb']:.2f} MB | ICI "
-            f"{p['t_ici_ms']:.3f} ms vs step {step_ms:.1f} ms -> "
-            f"weak-scaling eff {p['weak_scaling_eff'] * 100:.2f}%")
+    lower = lower_csnet_step if family == "csnet" else lower_csf_step
+    for label, per_dev_imgs, kwargs in _schedules(family, tiny):
+        for d, s in meshes:
+            n = d * s
+            txt, grad_bytes = lower(_mesh(d, s), **kwargs)
+            inv = collective_inventory(txt)
+            step_ms = (float("nan") if tiny
+                       else _measured_per_img_ms(family) * per_dev_imgs)
+            p = predict(inv, n, step_ms, ici_bw)
+            name = f"{family} {label}".strip()
+            rows.append({"family": family, "schedule": label,
+                         "mesh": f"{d}x{s}", "devices": n,
+                         "grad_mb": grad_bytes / 2**20,
+                         "inventory": inv, **p, "step_ms": step_ms})
+            counts = ", ".join(
+                f"{k} x{v['count']} ({v['bytes'] / 2**20:.2f} MB)"
+                for k, v in sorted(inv.items()))
+            log(f"{name} mesh {d}x{s}: {counts or 'no collectives'}")
+            log(f"  grad bytes {rows[-1]['grad_mb']:.2f} MB | ICI "
+                f"{p['t_ici_ms']:.3f} ms vs compute {step_ms:.1f} ms "
+                f"({per_dev_imgs} img/device/dispatch) -> "
+                f"weak-scaling eff {p['weak_scaling_eff'] * 100:.2f}%")
     return rows
 
 
