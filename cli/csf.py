@@ -193,6 +193,16 @@ def run_csf_train(config, log=print) -> dict:
     bsh = batch_sharding(mesh) if n_dev > 1 else None
     if bsh is not None:
         log(f"CSF training batch sharded over {n_dev} devices")
+        if config.iter_size > 1:
+            # the accumulation schedule is a free lever on a mesh: folding
+            # iter_size into the batch is identical math under the frozen-BN
+            # forward (tested) and pays the gradient all-reduce once per
+            # optimizer step instead of per micro-step (compiled-evidence
+            # table: docs/DESIGN.md §11 — 77% -> 97% weak-scaling eff)
+            log(f"hint: on a mesh, --iter_size 1 --batch_size "
+                f"{config.iter_size * config.batch_size} is mathematically "
+                f"identical to this schedule and all-reduces gradients "
+                f"{config.iter_size}x less often (docs/DESIGN.md §11)")
 
     dataset = CSFTrainData(config.train_root, config.train_list)
     lr = config.lr
