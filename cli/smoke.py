@@ -152,19 +152,28 @@ def main() -> None:
                              f"available: {', '.join(sorted(DATASETS))}")
         root = data_root or os.path.join(tempfile.gettempdir(),
                                          "sod100k_datasets")
-        fetched_any = False
-        for n in names:
-            if fetch_dataset(n, root) is not None:
-                fetched_any = True
-            elif not args.dry_data:
-                raise SystemExit(f"--fetch {n}: network unreachable and "
-                                 "--dry-data not given")
-        if fetched_any:
-            # fill splits the smoke needs but that weren't fetched: synth
-            # them under --dry-data, otherwise fail before training starts
+        fetched = {n: fetch_dataset(n, root) for n in names}
+        for n, got in fetched.items():
+            if got is None and not args.dry_data:
+                # None covers offline AND rejected downloads (checksum
+                # mismatch, non-zip body, failed validation) — the fetch
+                # log above names the actual cause
+                raise SystemExit(f"--fetch {n}: fetch failed (offline, or "
+                                 "the download was rejected — see the "
+                                 "[fetch] log above) and --dry-data not "
+                                 "given")
+        if any(got is not None for got in fetched.values()):
+            # fill splits the smoke needs but that weren't successfully
+            # fetched: synth them under --dry-data, otherwise fail before
+            # training starts. A split NOT requested may also be pre-placed
+            # by the user under --data-root (directory check); a requested
+            # split trusts only fetch_dataset's validated return value.
             for n in needed:
-                if os.path.isdir(os.path.join(root, n, "images")):
+                if fetched.get(n) is not None:
                     continue
+                if n not in fetched and \
+                        os.path.isdir(os.path.join(root, n, "images")):
+                    continue  # pre-existing user-provided split
                 if args.dry_data:
                     make_synth_split(os.path.join(root, n), 12 if
                                      n == "DUTS-TR" else 6, hw=(96, 128),

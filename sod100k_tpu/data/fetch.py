@@ -160,7 +160,14 @@ def fetch_dataset(name: str, root: str, timeout: float = 120.0,
             f"(sha256 {digest[:12]})")
 
     if not _tree_ok(img_dir, gt_dir, spec["count"]):
-        log(f"[fetch] {name}: extracted tree failed validation")
+        # evict the cached archives AND the partial extraction: leaving them
+        # would make every retry skip the download, re-extract the same bad
+        # archive, and fail forever (and a later --data-root user could
+        # mistake the partial tree for a dataset)
+        import shutil
+        shutil.rmtree(ds_dir, ignore_errors=True)
+        log(f"[fetch] {name}: extracted tree failed validation — archive "
+            "and partial tree removed so a retry re-downloads")
         return None
     # pin digests only AFTER structural validation: a truncated-but-valid
     # zip must not have its digest trust-on-first-use-pinned, or a later

@@ -102,10 +102,12 @@ def test_fetch_no_pin_on_failed_validation(tiny_spec, tmp_path, monkeypatch):
     root = str(tmp_path / "data4")
     assert F.fetch_dataset("TINY", root, log=lambda *_: None) is None
     assert not os.path.isfile(os.path.join(root, "CHECKSUMS.json"))
-    # "mirror fixed": real count again -> same archives now validate and pin
+    # the bad archive + partial tree are evicted, so the retry below
+    # actually re-downloads instead of re-extracting the same garbage
+    assert not os.path.isdir(os.path.join(root, "TINY"))
+    # "mirror fixed": real count again -> retry succeeds with NO manual
+    # cleanup, and only then pins
     monkeypatch.setitem(F.DATASETS["TINY"], "count", 5)
-    import shutil
-    shutil.rmtree(os.path.join(root, "TINY"))
     assert F.fetch_dataset("TINY", root, log=lambda *_: None) is not None
     assert os.path.isfile(os.path.join(root, "CHECKSUMS.json"))
 

@@ -21,13 +21,18 @@ def test_collective_inventory_parser():
     hlo = """
   %ar = f32[100]{0} all-reduce(f32[100]{0} %a), replica_groups={}
   %t = (f32[4,2]{1,0}, bf16[8]{0}) all-reduce(%x, %y), channel_id=1
-  %cp = f32[2,1,64,3]{3,2,1,0} collective-permute-start(%h), source_target_pairs={{0,1}}
+  %tiled = (f32[4,2]{1,0:T(8,128)}, f32[8]{0}) all-reduce(%x, %y)
+  %cp = f32[2,1,64,3]{3,2,1,0} collective-permute(%h), source_target_pairs={{0,1}}
   %ag = u8[16]{0} all-gather(%q), dimensions={0}
   %not_a_collective = f32[9]{0} add(f32[9]{0} %a, f32[9]{0} %b)
+  %async = (f32[64]{0}, f32[64]{0}) collective-permute-start(%h2)
 """
     inv = mp.collective_inventory(hlo)
-    assert inv["all-reduce"]["count"] == 2
-    assert inv["all-reduce"]["bytes"] == 400 + (4 * 2 * 4 + 8 * 2)
+    assert inv["all-reduce"]["count"] == 3
+    assert inv["all-reduce"]["bytes"] == \
+        400 + (4 * 2 * 4 + 8 * 2) + (4 * 2 * 4 + 8 * 4)
+    # sync form counted; async '-start' tuples (operand+result, would
+    # double-count) are NOT — the tool asserts the CPU backend instead
     assert inv["collective-permute"]["count"] == 1
     assert inv["collective-permute"]["bytes"] == 2 * 1 * 64 * 3 * 4
     assert inv["all-gather"]["bytes"] == 16

@@ -46,10 +46,16 @@ _DTYPE_BYTES = {
     "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1,
 }
 
+# sync collective forms only: this tool compiles on the CPU backend (the
+# virtual mesh), where GSPMD emits plain all-reduce/collective-permute/...
+# ops. Async '-start' forms (TPU backends) carry tuple-of-(operand, result
+# [, contexts]) shapes that would double-count bytes — run_plan asserts the
+# CPU backend instead of guessing. The tuple branch tolerates one level of
+# nested parens (TPU tiled layouts like {1,0:T(8,128)}).
 _COLLECTIVE_RE = re.compile(
-    r"=\s+((?:\([^)]*\)|[a-z0-9]+\[[^\]]*\]\S*))\s+"
+    r"=\s+((?:\((?:[^()]|\([^()]*\))*\)|[a-z0-9]+\[[^\]]*\]\S*))\s+"
     r"(all-reduce|collective-permute|all-gather|reduce-scatter|all-to-all)"
-    r"(?:-start)?\(")
+    r"\(")
 _SHAPE_RE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
 
 
@@ -192,16 +198,21 @@ import numpy as np  # noqa: E402  (used by the lower_* helpers)
 
 def predict(inv: dict, n_devices: int, step_ms: float,
             ici_bw: float) -> dict:
-    """Fold a collective inventory into the ICI model (module docstring)."""
-    ar = inv.get("all-reduce", {"bytes": 0})["bytes"]
-    ar += inv.get("reduce-scatter", {"bytes": 0})["bytes"]
-    ar += inv.get("all-gather", {"bytes": 0})["bytes"]
-    halo = inv.get("collective-permute", {"bytes": 0})["bytes"]
-    t_ar = 2.0 * (n_devices - 1) / n_devices * ar / ici_bw
-    t_halo = halo / ici_bw
-    t_ici_ms = (t_ar + t_halo) * 1e3
+    """Fold a collective inventory into the ICI ring model: all-reduce
+    moves 2(n-1)/n of its bytes per device (reduce-scatter + all-gather
+    halves), single-phase collectives (all-gather, reduce-scatter,
+    all-to-all) (n-1)/n, and collective-permute (halo exchange) is a
+    neighbor transfer of its own bytes."""
+    b = lambda k: inv.get(k, {"bytes": 0})["bytes"]  # noqa: E731
+    ring2 = 2.0 * (n_devices - 1) / n_devices
+    ring1 = (n_devices - 1) / n_devices
+    t = (ring2 * b("all-reduce")
+         + ring1 * (b("all-gather") + b("reduce-scatter") + b("all-to-all"))
+         + b("collective-permute")) / ici_bw
+    t_ici_ms = t * 1e3
     eff = step_ms / (step_ms + t_ici_ms) if step_ms else float("nan")
-    return {"allreduce_mb": ar / 2**20, "halo_mb": halo / 2**20,
+    return {"allreduce_mb": b("all-reduce") / 2**20,
+            "halo_mb": b("collective-permute") / 2**20,
             "t_ici_ms": t_ici_ms, "weak_scaling_eff": eff}
 
 
@@ -244,6 +255,12 @@ def _schedules(family: str, tiny: bool) -> list:
 
 def run_plan(family: str, meshes: list, *, tiny: bool,
              ici_bw: float, log=print) -> list:
+    import jax
+
+    # the inventory parser handles the CPU backend's SYNC collective forms
+    # (see _COLLECTIVE_RE); async '-start' tuples would be double-counted
+    assert jax.devices()[0].platform == "cpu", \
+        "mesh_plan compiles on the virtual CPU mesh (run via main())"
     rows = []
     lower = lower_csnet_step if family == "csnet" else lower_csf_step
     for label, per_dev_imgs, kwargs in _schedules(family, tiny):
@@ -301,6 +318,14 @@ def main() -> None:
         raise SystemExit(subprocess.run(
             [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
             env=env, cwd=REPO).returncode)
+
+    # persistent compile cache: the non-tiny plan compiles recipe-shape
+    # programs on the single host core — reruns must hit the cache
+    # (CLAUDE.md "enable it in any heavy script")
+    from sod100k_tpu.utils.cache_hygiene import hygienic_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir",
+                      hygienic_cache_dir(os.path.join(REPO, ".jax_cache")))
 
     for family in (("csnet", "csf") if args.family == "both"
                    else (args.family,)):
