@@ -296,6 +296,9 @@ def main() -> None:
                     help="small shapes (fast compiles; no time prediction)")
     ap.add_argument("--ici-bw", type=float, default=4.5e10,
                     help="ICI bytes/s per link direction (model constant)")
+    ap.add_argument("--json", default="",
+                    help="also write the rows (inventories + predictions) "
+                         "to this JSON file")
     args = ap.parse_args()
     meshes = [tuple(int(v) for v in m.split("x"))
               for m in args.meshes.split(",")]
@@ -327,9 +330,16 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir",
                       hygienic_cache_dir(os.path.join(REPO, ".jax_cache")))
 
+    rows = []
     for family in (("csnet", "csf") if args.family == "both"
                    else (args.family,)):
-        run_plan(family, meshes, tiny=args.tiny, ici_bw=args.ici_bw)
+        rows += run_plan(family, meshes, tiny=args.tiny, ici_bw=args.ici_bw)
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump({"ici_bw": args.ici_bw, "rows": rows}, f, indent=1)
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":
