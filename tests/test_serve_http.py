@@ -241,6 +241,36 @@ def test_http_image_wire_u8(tmp_path):
         srv.batcher.stop()
 
 
+def test_server_composes_with_mesh_serving(tmp_path, f32_model):
+    """cli.serve --mesh_devices: the daemon over a data-parallel-loaded
+    artifact returns the same bytes as the single-device model."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    lc = init_layers(8, [0.5, 0.5])
+    params = csnet_init(jax.random.key(8), lc)
+    path = export_artifact(str(tmp_path / "dp"), "csnet", params, lc,
+                           batch=[2, 4], hw=(64, 64), dtype=jnp.float32)
+    dp = load_artifact(path, mesh_devices=2)
+    single = load_artifact(path)
+    srv = make_server(dp, port=0, max_wait_ms=5.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+    try:
+        x = np.random.default_rng(9).standard_normal(
+            (4, 64, 64, 3)).astype(np.float32)
+        code, body, _ = _post(url + "/predict", _npy_bytes(x),
+                              "application/x-npy")
+        assert code == 200
+        out = np.load(io.BytesIO(body))
+        np.testing.assert_allclose(out, single(x), atol=1e-6)
+    finally:
+        srv.shutdown()
+        srv.batcher.stop()
+
+
 def test_image_request_normalize_matches_host_protocol(f32_model):
     """The f32-wire image decode path applies the exact host-dialect
     normalize (pipeline IMAGENET constants) before batching."""
