@@ -23,6 +23,7 @@ surface (docs/GUIDE.md "Serving").
 from __future__ import annotations
 
 import argparse
+import signal
 
 from sod100k_tpu.serve import load_artifact
 from sod100k_tpu.serve_http import make_server
@@ -43,6 +44,18 @@ def main(argv=None) -> None:
                     help="skip the per-bucket warm-up dispatches")
     args = ap.parse_args(argv)
 
+    # persistent compile cache: warm-up compiles every bucket at startup —
+    # reruns of the same artifact must not pay XLA again (CLAUDE.md)
+    import os
+
+    import jax
+
+    from sod100k_tpu.utils.cache_hygiene import hygienic_cache_dir
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        hygienic_cache_dir(os.path.join(os.getcwd(), ".jax_cache")))
+
     model = load_artifact(args.artifact, mesh_devices=args.mesh_devices)
     srv = make_server(model, args.host, args.port,
                       max_wait_ms=args.max_wait_ms,
@@ -52,6 +65,12 @@ def main(argv=None) -> None:
           f"buckets={model.batches} on http://{srv.server_address[0]}:"
           f"{srv.server_address[1]}  (POST /predict, GET /healthz /stats)",
           flush=True)
+    # SIGTERM (the orchestrator's stop signal) drains like ctrl-C: stop
+    # accepting, let in-flight dispatches finish, join the dispatcher
+    def _term(*_):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
