@@ -128,6 +128,21 @@ def test_batcher_respects_bucket_cap(f32_model):
     b.stop()
 
 
+def test_batcher_oversized_request_chunks(f32_model):
+    """A single request larger than the largest bucket dispatches alone;
+    ServingModel's bucket routing chunks it."""
+    b = Batcher(f32_model, max_wait_ms=1.0)
+    x = np.random.default_rng(10).standard_normal(
+        (7, 64, 64, 3)).astype(np.float32)
+    got = b.submit(x)
+    np.testing.assert_allclose(got, f32_model(x), atol=1e-5)
+    s = b.snapshot()
+    assert s["images"] == 7
+    b.stop()
+    with pytest.raises(RuntimeError):
+        b.submit(x)
+
+
 def test_http_npy_roundtrip_and_meta(f32_server):
     srv, model, url = f32_server
     code, body = _get(url + "/healthz")
