@@ -104,7 +104,9 @@ def main() -> None:
         model(xb)  # warm (server warm-up covered the other buckets)
         t0 = time.monotonic()
         iters = 0
-        while time.monotonic() - t0 < max(3.0, args.secs / 3):
+        # at least 5 iterations: over the tunnel one full-bucket call is
+        # seconds of wire time and a 2-iter window is too noisy to quote
+        while iters < 5 or time.monotonic() - t0 < max(3.0, args.secs / 3):
             model(xb)
             iters += 1
         direct = big * iters / (time.monotonic() - t0)
