@@ -64,17 +64,24 @@ class Batcher:
     """
 
     def __init__(self, model, *, max_wait_ms: float = 3.0,
-                 max_batch: int | None = None, autostart: bool = True):
+                 max_batch: int | None = None, autostart: bool = True,
+                 pipeline: bool = False):
+        """pipeline=True splits the dispatcher into a collector thread
+        (drain queue + host-side concat) and a device thread, with a
+        depth-1 handoff — group k+1 forms while batch k executes (the
+        drivers' one-deep pipelining). Off by default: flip only where a
+        measurement says so (tools/bench_serve.py --pipeline)."""
         self.model = model
         self.max_wait_s = max_wait_ms / 1e3
         self.max_batch = int(max_batch or model.batches[-1])
+        self.pipeline = pipeline
         self._queue: list[_Request] = []
         self._cond = threading.Condition()
         self._stopped = False
         self.stats = {"requests": 0, "images": 0, "dispatches": 0,
                       "batch_hist": {}}
         self._stats_lock = threading.Lock()
-        self._thread: threading.Thread | None = None
+        self._threads: list[threading.Thread] = []
         if autostart:
             self.start()
 
@@ -113,17 +120,30 @@ class Batcher:
 
     # -- dispatcher side --------------------------------------------------
     def start(self) -> None:
-        if self._thread is None:
-            self._thread = threading.Thread(target=self._run, daemon=True,
-                                            name="serve-dispatcher")
-            self._thread.start()
+        if self._threads:
+            return
+        if self.pipeline:
+            import queue
+
+            self._handoff: "queue.Queue" = queue.Queue(maxsize=1)
+            self._threads = [
+                threading.Thread(target=self._collect, daemon=True,
+                                 name="serve-collector"),
+                threading.Thread(target=self._device_loop, daemon=True,
+                                 name="serve-dispatcher"),
+            ]
+        else:
+            self._threads = [threading.Thread(target=self._run, daemon=True,
+                                              name="serve-dispatcher")]
+        for t in self._threads:
+            t.start()
 
     def stop(self) -> None:
         with self._cond:
             self._stopped = True
             self._cond.notify_all()
-        if self._thread is not None:
-            self._thread.join(timeout=5)
+        for t in self._threads:
+            t.join(timeout=10)
 
     def warmup(self) -> None:
         """Run every exported bucket once (compile + first dispatch)."""
@@ -159,32 +179,55 @@ class Batcher:
                 self._cond.wait(timeout=left)
             return group
 
+    def _dispatch(self, group: list, sizes: list, batch) -> None:
+        try:
+            out = self.model(batch)
+            off = 0
+            for r, n in zip(group, sizes):
+                r.result = out[off:off + n]
+                off += n
+        except Exception as e:  # scatter the failure, keep serving
+            for r in group:
+                r.error = e
+        finally:
+            with self._stats_lock:
+                self.stats["requests"] += len(group)
+                self.stats["images"] += sum(sizes)
+                self.stats["dispatches"] += 1
+                h = self.stats["batch_hist"]
+                h[sum(sizes)] = h.get(sum(sizes), 0) + 1
+            for r in group:
+                r.event.set()
+
+    @staticmethod
+    def _concat(group: list):
+        return (group[0].images if len(group) == 1 else
+                np.concatenate([r.images for r in group]))
+
     def _run(self) -> None:
         while True:
             group = self._take_group()
             if group is None:
                 return
-            sizes = [r.images.shape[0] for r in group]
-            try:
-                batch = (group[0].images if len(group) == 1 else
-                         np.concatenate([r.images for r in group]))
-                out = self.model(batch)
-                off = 0
-                for r, n in zip(group, sizes):
-                    r.result = out[off:off + n]
-                    off += n
-            except Exception as e:  # scatter the failure, keep serving
-                for r in group:
-                    r.error = e
-            finally:
-                with self._stats_lock:
-                    self.stats["requests"] += len(group)
-                    self.stats["images"] += sum(sizes)
-                    self.stats["dispatches"] += 1
-                    h = self.stats["batch_hist"]
-                    h[sum(sizes)] = h.get(sum(sizes), 0) + 1
-                for r in group:
-                    r.event.set()
+            self._dispatch(group, [r.images.shape[0] for r in group],
+                           self._concat(group))
+
+    def _collect(self) -> None:
+        while True:
+            group = self._take_group()
+            if group is None:
+                self._handoff.put(None)
+                return
+            self._handoff.put(
+                (group, [r.images.shape[0] for r in group],
+                 self._concat(group)))
+
+    def _device_loop(self) -> None:
+        while True:
+            item = self._handoff.get()
+            if item is None:
+                return
+            self._dispatch(*item)
 
     def snapshot(self) -> dict:
         with self._stats_lock:
@@ -226,11 +269,12 @@ def _encode_png_saliency(sal: np.ndarray) -> bytes:
 
 def make_server(model, host: str = "127.0.0.1", port: int = 0, *,
                 max_wait_ms: float = 3.0, warmup: bool = True,
-                request_timeout_s: float = 60.0) -> ThreadingHTTPServer:
+                request_timeout_s: float = 60.0,
+                pipeline: bool = False) -> ThreadingHTTPServer:
     """Build (not run) the HTTP server; ``server.batcher`` is attached.
     Call ``serve_forever()`` (blocking) or drive it from a thread in tests;
     ``server.shutdown()`` + ``server.batcher.stop()`` to tear down."""
-    batcher = Batcher(model, max_wait_ms=max_wait_ms)
+    batcher = Batcher(model, max_wait_ms=max_wait_ms, pipeline=pipeline)
     if warmup:
         batcher.warmup()
 

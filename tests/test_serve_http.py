@@ -69,10 +69,13 @@ def f32_server(f32_model):
     srv.batcher.stop()
 
 
-def test_batcher_coalesces_concurrent_requests(f32_model):
+@pytest.mark.parametrize("pipeline", [False, True])
+def test_batcher_coalesces_concurrent_requests(f32_model, pipeline):
     """3 concurrent submits (1+2+1 images) -> ONE batched dispatch whose
-    per-request slices match direct model() calls."""
-    b = Batcher(f32_model, max_wait_ms=50.0, autostart=False)
+    per-request slices match direct model() calls (plain and one-deep
+    pipelined dispatcher)."""
+    b = Batcher(f32_model, max_wait_ms=50.0, autostart=False,
+                pipeline=pipeline)
     rng = np.random.default_rng(0)
     xs = [rng.standard_normal((n, 64, 64, 3)).astype(np.float32)
           for n in (1, 2, 1)]
