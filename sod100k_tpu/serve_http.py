@@ -45,6 +45,13 @@ import numpy as np
 from .data.pipeline import IMAGENET_MEAN, IMAGENET_STD
 
 
+class DispatchError(RuntimeError):
+    """Device/model failure inside a batched dispatch. Server-side by
+    definition (the client's request already passed validate()), so the
+    HTTP layer maps it to 500 — never to a 400 protocol error, even when
+    the underlying model raised a ValueError."""
+
+
 class _Request:
     __slots__ = ("images", "event", "result", "error")
 
@@ -102,6 +109,12 @@ class Batcher:
                 raise ValueError(
                     f"wire='u8' artifact expects raw uint8 RGB, got dtype "
                     f"{arr.dtype}")
+            if arr.dtype != np.uint8 and arr.size and (
+                    arr.min() < 0 or arr.max() > 255):
+                # never silently wrap (int32 300 -> 44 would 200-OK garbage)
+                raise ValueError(
+                    f"wire='u8' pixel values must be in [0, 255]; got "
+                    f"[{arr.min()}, {arr.max()}] ({arr.dtype})")
             return arr.astype(np.uint8)
         return arr.astype(np.float32)
 
@@ -113,6 +126,11 @@ class Batcher:
             self._queue.append(req)
             self._cond.notify()
         if not req.event.wait(timeout_s):
+            with self._cond:
+                try:  # still queued: pull it so it cannot consume a later
+                    self._queue.remove(req)  # dispatch nobody will read
+                except ValueError:
+                    pass  # already taken into a group; result is dropped
             raise TimeoutError(f"no dispatch within {timeout_s}s")
         if req.error is not None:
             raise req.error
@@ -186,9 +204,11 @@ class Batcher:
             for r, n in zip(group, sizes):
                 r.result = out[off:off + n]
                 off += n
-        except Exception as e:  # scatter the failure, keep serving
-            for r in group:
-                r.error = e
+        except Exception as e:  # scatter the failure, keep serving — one
+            for r in group:  # FRESH exception per request (re-raising a
+                # shared instance concurrently mutates its __traceback__),
+                # typed DispatchError so the HTTP layer keeps it a 500
+                r.error = DispatchError(f"{type(e).__name__}: {e}")
         finally:
             with self._stats_lock:
                 self.stats["requests"] += len(group)
@@ -305,11 +325,13 @@ def make_server(model, host: str = "127.0.0.1", port: int = 0, *,
             if self.path != "/predict":
                 self._send_json(404, {"error": f"no route {self.path}"})
                 return
-            n = int(self.headers.get("Content-Length", 0))
-            body = self.rfile.read(n)
             ctype = (self.headers.get("Content-Type") or
                      "application/octet-stream").split(";")[0].strip()
             try:
+                # inside the try: a malformed Content-Length is a client
+                # protocol error (400), not an aborted connection
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
                 if ctype == "application/x-npy":
                     arr = np.load(io.BytesIO(body), allow_pickle=False)
                     squeeze = arr.ndim == 3

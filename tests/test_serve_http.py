@@ -24,7 +24,23 @@ from sod100k_tpu.arch.csnet import csnet_init
 from sod100k_tpu.arch.layer_config import init_layers
 from sod100k_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
 from sod100k_tpu.serve import export_artifact, load_artifact
-from sod100k_tpu.serve_http import Batcher, make_server
+from sod100k_tpu.serve_http import Batcher, DispatchError, make_server
+
+
+class _FakeModel:
+    """Minimal ServingModel surface for dispatcher-failure tests."""
+
+    batches = [2]
+    input_shape = (2, 8, 8, 3)
+    meta = {"family": "fake", "wire": "f32"}
+
+    def __init__(self, fail: bool = False):
+        self.fail = fail
+
+    def __call__(self, x):
+        if self.fail:
+            raise ValueError("boom inside dispatch")
+        return np.zeros((np.asarray(x).shape[0], 8, 8, 1), np.float32)
 
 
 def _post(url, data, ctype):
@@ -146,6 +162,76 @@ def test_batcher_oversized_request_chunks(f32_model):
         b.submit(x)
 
 
+def test_submit_timeout_removes_queued_request():
+    """A timed-out submit (client already got its 503) must not leave the
+    request queued to consume a later batched dispatch."""
+    b = Batcher(_FakeModel(), autostart=False)  # no dispatcher running
+    with pytest.raises(TimeoutError):
+        b.submit(np.zeros((1, 8, 8, 3), np.float32), timeout_s=0.05)
+    assert b._queue == []
+    b.stop()
+
+
+def test_dispatch_failure_fresh_error_per_request():
+    """A failed batched dispatch scatters a FRESH DispatchError per request
+    (re-raising one shared instance concurrently mutates __traceback__)."""
+    b = Batcher(_FakeModel(fail=True), max_wait_ms=50.0, autostart=False)
+    errs = [None, None]
+
+    def client(i):
+        try:
+            b.submit(np.zeros((1, 8, 8, 3), np.float32))
+        except Exception as e:
+            errs[i] = e
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in (0, 1)]
+    for t in threads:
+        t.start()
+    deadline = time.monotonic() + 10
+    while len(b._queue) < 2 and time.monotonic() < deadline:
+        time.sleep(0.005)
+    b.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert all(isinstance(e, DispatchError) for e in errs), errs
+    assert errs[0] is not errs[1]
+    assert "boom inside dispatch" in str(errs[0])
+    b.stop()
+
+
+def test_http_dispatch_failure_is_500_not_400():
+    """A model ValueError raised INSIDE the batched dispatch is a server
+    failure (500) — never misreported as a client protocol error (400)."""
+    srv = make_server(_FakeModel(fail=True), port=0, max_wait_ms=1.0,
+                      warmup=False)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+    try:
+        x = np.zeros((1, 8, 8, 3), np.float32)
+        code, body, _ = _post(url + "/predict", _npy_bytes(x),
+                              "application/x-npy")
+        assert code == 500 and b"boom inside dispatch" in body
+    finally:
+        srv.shutdown()
+        srv.batcher.stop()
+
+
+def test_http_malformed_content_length_is_400(f32_server):
+    """A non-numeric Content-Length gets a 400 response, not a silently
+    aborted connection."""
+    import socket
+
+    srv, model, url = f32_server
+    host, port = srv.server_address
+    with socket.create_connection((host, port), timeout=30) as s:
+        s.sendall(b"POST /predict HTTP/1.1\r\nHost: t\r\n"
+                  b"Content-Type: application/x-npy\r\n"
+                  b"Content-Length: banana\r\n\r\n")
+        status = s.recv(4096).split(b"\r\n", 1)[0]
+    assert b" 400 " in status, status
+
+
 def test_http_npy_roundtrip_and_meta(f32_server):
     srv, model, url = f32_server
     code, body = _get(url + "/healthz")
@@ -254,6 +340,20 @@ def test_http_image_wire_u8(tmp_path):
         code, body, _ = _post(url + "/predict", _npy_bytes(fx),
                               "application/x-npy")
         assert code == 400 and b"uint8" in body
+
+        # wider int dtype with out-of-range values -> 400 (astype(np.uint8)
+        # would silently wrap 300 -> 44 into plausible garbage)
+        ox = np.full((1, 64, 64, 3), 300, np.int32)
+        code, body, _ = _post(url + "/predict", _npy_bytes(ox),
+                              "application/x-npy")
+        assert code == 400 and b"255" in body
+
+        # in-range wider ints stay accepted (lossless cast)
+        kx = cv2.resize(img, (64, 64),
+                        interpolation=cv2.INTER_LINEAR)[None].astype(np.int32)
+        code, body, _ = _post(url + "/predict", _npy_bytes(kx),
+                              "application/x-npy")
+        assert code == 200
     finally:
         srv.shutdown()
         srv.batcher.stop()

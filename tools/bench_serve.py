@@ -118,14 +118,23 @@ def main() -> None:
               f"(B={big} x{iters})", flush=True)
 
         served_images = [0] * args.clients
+        failures: list = []
         stop = time.monotonic() + args.secs
 
         def client(i):
-            x = mk(args.req_batch)
-            while time.monotonic() < stop:
-                out = _post_npy(url, x)
-                assert out.shape[0] == args.req_batch
-                served_images[i] += args.req_batch
+            # failures recorded (not swallowed by the thread): a broken
+            # response must fail the benchmark, never just deflate img/s
+            try:
+                x = mk(args.req_batch)
+                while time.monotonic() < stop:
+                    out = _post_npy(url, x)
+                    if out.shape[0] != args.req_batch:
+                        raise AssertionError(
+                            f"client {i}: got {out.shape} for a "
+                            f"{args.req_batch}-image request")
+                    served_images[i] += args.req_batch
+            except Exception as e:
+                failures.append(e)
 
         before = srv.batcher.snapshot()
         threads = [threading.Thread(target=client, args=(i,))
@@ -136,6 +145,11 @@ def main() -> None:
         for th in threads:
             th.join()
         dt = time.monotonic() - t0
+        if failures:
+            for e in failures:
+                print(f"# CLIENT FAILED: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+            raise SystemExit(1)
         s = srv.batcher.snapshot()
         served = sum(served_images) / dt
         disp = s["dispatches"] - before["dispatches"]
