@@ -58,7 +58,8 @@ def test_res2net101_depth():
 
 @pytest.mark.skipif(not os.path.isdir("/root/reference/CSF+Res2Net"),
                     reason="reference not mounted")
-def test_csf_matches_reference_torch():
+@pytest.mark.parametrize("backbone", ["res2net50", "res2net101"])
+def test_csf_matches_reference_torch(backbone):
     import torch
 
     sys.path.insert(0, "/root/reference/CSF+Res2Net")
@@ -67,12 +68,20 @@ def test_csf_matches_reference_torch():
             sys.modules.pop(m)
     from networks.csf_res2net import CSFNet
 
-    params = csf_init(jax.random.key(2))
+    params = csf_init(jax.random.key(2), backbone=backbone)
     # interop emits the CSF gOctConv plural `weights` naming itself
     # (gOctConv.py:21; torch_ckpt._CSF_PLURAL_WEIGHT_MODULES)
     sd = pytree_to_state_dict(params)
     assert "fuse.conv.weights" in sd and "fuse1x1.conv.weights" in sd
     model = CSFNet()
+    if backbone == "res2net101":
+        # the reference CSFNet hardcodes the 50 (csf_res2net.py:236); its
+        # Res2Net class generalizes to any depth (:110-144) — swap the base
+        # exactly as the reference generalizes
+        from networks.csf_res2net import Bottle2neck, Res2Net
+
+        model.base = Res2Net(Bottle2neck, [3, 4, 23, 3], baseWidth=26,
+                             scale=4)
     res = model.load_state_dict(
         {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}, strict=False)
     assert not res.unexpected_keys, res.unexpected_keys
@@ -103,7 +112,8 @@ def test_csf_matches_reference_torch():
     with torch.no_grad():
         want = model(torch.from_numpy(x)).numpy()[:, 0]
     got = np.asarray(csf_apply(jax.tree.map(jnp.asarray, params),
-                               jnp.asarray(x.transpose(0, 2, 3, 1))))[..., 0]
+                               jnp.asarray(x.transpose(0, 2, 3, 1)),
+                               backbone=backbone))[..., 0]
     assert np.abs(got - want).max() < 1e-4, np.abs(got - want).max()
 
 

@@ -310,14 +310,20 @@ def test_csnet_short_trajectory_matches_reference():
 
 
 @pytest.mark.skipif(not os.path.isdir(REF_CSF), reason="reference absent")
-def test_csf_trajectory_matches_reference():
+@pytest.mark.parametrize("backbone", ["res2net50", "res2net101"])
+def test_csf_trajectory_matches_reference(backbone):
     """The CSF Solver's exact loop (solver.py:81-110): eval-mode (frozen BN)
     forward, sum-BCE / (iter_size*batch), per-micro-batch backward, Adam
     step every iter_size micro-batches over the requires_grad set only —
     live torch vs make_csf_train_step + make_csf_optimizer. The frozen
     backbone and lr 5e-5 keep this recipe non-chaotic, so a full 2-cycle
     trajectory (4 micro-batches, 2 optimizer applications) compares
-    cleanly."""
+    cleanly.
+
+    Runs for BOTH backbones: the reference CSFNet hardcodes the 50
+    (csf_res2net.py:236) but its Res2Net generalizes (:110-144) — the 101
+    variant swaps base to Bottle2neck depths [3,4,23,3] and shortens to one
+    optimizer application (2 micro-batches) to bound CPU cost."""
     sys.path.insert(0, REF_CSF)
     if "torchvision" not in sys.modules:  # solver.py:11 imports it unused
         tv = types.ModuleType("torchvision")
@@ -337,12 +343,17 @@ def test_csf_trajectory_matches_reference():
     )
 
     CB, CHW, CLR, CWD, ITER = 1, 64, 5e-5, 5e-4, 2
-    n_micro = 2 * ITER  # two full optimizer applications
-    params0 = csf_init(jax.random.key(5))
+    n_apply = 2 if backbone == "res2net50" else 1
+    n_micro = n_apply * ITER
+    params0 = csf_init(jax.random.key(5), backbone=backbone)
     init_sd = _export(params0)
     batches = _batches(CB, CHW, n_micro, seed0=300)
 
     model = CSFNet()
+    if backbone == "res2net101":
+        from networks.csf_res2net import Bottle2neck, Res2Net
+        model.base = Res2Net(Bottle2neck, [3, 4, 23, 3], baseWidth=26,
+                             scale=4)
     res = model.load_state_dict(
         {k: torch.from_numpy(v.copy()) for k, v in init_sd.items()},
         strict=False)
@@ -374,8 +385,8 @@ def test_csf_trajectory_matches_reference():
     trainable, state = csf_partition(jax.tree.map(jnp.asarray, params0))
     tx = make_csf_optimizer(weight_decay=CWD, iter_size=ITER)
     opt_state = tx.init(trainable)
-    step = make_csf_train_step(tx, iter_size=ITER, batch_size=CB,
-                               donate=False)
+    step = make_csf_train_step(tx, backbone=backbone, iter_size=ITER,
+                               batch_size=CB, donate=False)
     our_losses = []
     for img, gt in batches:
         batch = {"image": jnp.asarray(img), "target": jnp.asarray(gt)}
@@ -386,4 +397,4 @@ def test_csf_trajectory_matches_reference():
     for k in range(n_micro):
         assert our_losses[k] == pytest.approx(torch_losses[k], rel=1e-4), k
     _delta_close(init_sd, ref_sd, _export(merge(trainable, state)), rtol=2e-2,
-                 adam_flip_bound=2 * CLR)  # two optimizer applications
+                 adam_flip_bound=n_apply * CLR)

@@ -41,6 +41,8 @@ GUARDED_EXTRAS = [
     "csnet_l_x2_224_infer_latency_ms[bf16,B=1]",
     "csf_res2net50_336_train_microstep_ms[bf16,B=8]",
     "csf_res2net50_336_infer_img_per_sec[bf16,B=32]",
+    "csf_res2net101_336_train_microstep_ms[bf16,B=8]",
+    "csf_res2net101_336_infer_img_per_sec[bf16,B=32]",
     "csnet_l_x2_224_serving_artifact_img_per_sec[bf16,B=128]",
     "csnet_l_x2_resident_testall_img_per_sec[bf16,B=128,n=512]",
 ]

@@ -142,6 +142,18 @@ def bench_inference_latency(entries: list) -> None:
     entries.append({"metric": "csf_res2net50_336_infer_img_per_sec[bf16,B=32]",
                     "value": round(32e3 / ms, 1), "unit": "images/sec"})
 
+    # north-star config #5's backbone: CSF+Res2Net-101 (stage depths
+    # [3,4,23,3]) at the same 336^2 B=32 protocol
+    c101 = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16),
+                        csf_init(jax.random.key(3), backbone="res2net101"))
+    ms = scan_latency(
+        lambda v: jax.nn.sigmoid(csf_apply(c101, v, "res2net101")), xb,
+        k=20) * 1e3
+    print(f"# csf_res2net101 B=32 336 bf16: {ms:.2f} ms/batch "
+          f"({32e3 / ms:.0f} img/s)", file=sys.stderr)
+    entries.append({"metric": "csf_res2net101_336_infer_img_per_sec[bf16,B=32]",
+                    "value": round(32e3 / ms, 1), "unit": "images/sec"})
+
 
 def bench_serving_artifact(entries: list) -> None:
     """Exported StableHLO artifact throughput: the deployment path (weights
@@ -248,40 +260,45 @@ def bench_csf_steps(entries: list) -> None:
         make_csf_train_step,
     )
 
-    params = csf_init(jax.random.key(1))
-    trainable, state = csf_partition(params)
     K = 4
-    for batch_size, dtype_name in ((1, "f32"), (8, "f32"),
-                                   (8, "bf16"), (32, "bf16")):
-        cdt = jnp.bfloat16 if dtype_name == "bf16" else None
-        tx = make_csf_optimizer(iter_size=10)
-        opt_state = tx.init(trainable)
-        step = make_csf_train_step(tx, iter_size=10, batch_size=batch_size,
-                                   compute_dtype=cdt)
-        rng = np.random.default_rng(0)
-        batch = {
-            "image": jnp.asarray(rng.standard_normal(
-                (batch_size, 336, 336, 3), dtype=np.float32)),
-            "target": jnp.asarray((rng.random(
-                (batch_size, 336, 336, 1)) > 0.5).astype(np.float32)),
-        }
+    # res2net101 [3,4,23,3] is north-star config #5's backbone; one bf16
+    # throughput row keeps its training cost measured alongside the 50's
+    plans = {"res2net50": ((1, "f32"), (8, "f32"), (8, "bf16"), (32, "bf16")),
+             "res2net101": ((8, "bf16"),)}
+    for arch, combos in plans.items():
+        params = csf_init(jax.random.key(1), backbone=arch)
+        trainable, state = csf_partition(params)
+        for batch_size, dtype_name in combos:
+            cdt = jnp.bfloat16 if dtype_name == "bf16" else None
+            tx = make_csf_optimizer(iter_size=10)
+            opt_state = tx.init(trainable)
+            step = make_csf_train_step(tx, backbone=arch, iter_size=10,
+                                       batch_size=batch_size,
+                                       compute_dtype=cdt)
+            rng = np.random.default_rng(0)
+            batch = {
+                "image": jnp.asarray(rng.standard_normal(
+                    (batch_size, 336, 336, 3), dtype=np.float32)),
+                "target": jnp.asarray((rng.random(
+                    (batch_size, 336, 336, 1)) > 0.5).astype(np.float32)),
+            }
 
-        def once(carry):
-            t, o = carry
-            t, o, _ = step(t, state, o, batch, jnp.float32(5e-5))
-            return (t, o)
+            def once(carry):
+                t, o = carry
+                t, o, _ = step(t, state, o, batch, jnp.float32(5e-5))
+                return (t, o)
 
-        carry0 = jax.tree.map(lambda a: jnp.array(a, copy=True),
-                              (trainable, opt_state))
-        secs, _ = _timed_chain(once, carry0, K)
-        print(f"# csf_res2net50 336 train micro-step {dtype_name} "
-              f"B={batch_size}: {secs * 1e3:.1f} ms "
-              f"({batch_size / secs:.1f} img/s)", file=sys.stderr)
-        suffix = f"[B={batch_size}]" if dtype_name == "f32" \
-            else f"[{dtype_name},B={batch_size}]"
-        entries.append({
-            "metric": f"csf_res2net50_336_train_microstep_ms{suffix}",
-            "value": round(secs * 1e3, 2), "unit": "ms"})
+            carry0 = jax.tree.map(lambda a: jnp.array(a, copy=True),
+                                  (trainable, opt_state))
+            secs, _ = _timed_chain(once, carry0, K)
+            print(f"# csf_{arch} 336 train micro-step {dtype_name} "
+                  f"B={batch_size}: {secs * 1e3:.1f} ms "
+                  f"({batch_size / secs:.1f} img/s)", file=sys.stderr)
+            suffix = f"[B={batch_size}]" if dtype_name == "f32" \
+                else f"[{dtype_name},B={batch_size}]"
+            entries.append({
+                "metric": f"csf_{arch}_336_train_microstep_ms{suffix}",
+                "value": round(secs * 1e3, 2), "unit": "ms"})
 
 
 def bench_csf_resident_epoch(entries: list) -> None:

@@ -145,7 +145,7 @@ def lower_csnet_step(mesh, *, per_dev_batch: int, hw: int, width: int):
 
 
 def lower_csf_step(mesh, *, per_dev_batch: int, hw: int,
-                   iter_size: int = 10):
+                   iter_size: int = 10, arch: str = "res2net50"):
     """Lower the PRODUCT CSF micro-step (summed grad accumulation, frozen
     BN) over `mesh`; returns (optimized HLO text, grad bytes).
 
@@ -172,13 +172,13 @@ def lower_csf_step(mesh, *, per_dev_batch: int, hw: int,
 
     spatial = mesh.shape.get("spatial", 1)
     check_spatial_extent(hw, 16, spatial, what="csf")
-    params = csf_init(jax.random.key(1))
+    params = csf_init(jax.random.key(1), backbone=arch)
     trainable, state = csf_partition(params)
     tx = make_csf_optimizer(iter_size=iter_size)
     opt_state = tx.init(trainable)
     B = per_dev_batch * mesh.shape["data"]
-    step = make_csf_train_step(tx, iter_size=iter_size, batch_size=B,
-                               donate=False)
+    step = make_csf_train_step(tx, backbone=arch, iter_size=iter_size,
+                               batch_size=B, donate=False)
 
     rep = replicated(mesh)
     bsh = feed_sharding(mesh, 4)
@@ -223,17 +223,19 @@ def predict(inv: dict, n_devices: int, step_ms: float,
 _MEASURED = {
     "csnet": ("csnet_l_x2_224_train_step_img_per_sec[bf16,B=128]",
               lambda v: 1e3 / v),  # img/s -> ms/img
-    "csf": ("csf_res2net50_336_train_microstep_ms[bf16,B=8]",
-            lambda v: v / 8.0),
+    "csf/res2net50": ("csf_res2net50_336_train_microstep_ms[bf16,B=8]",
+                      lambda v: v / 8.0),
+    "csf/res2net101": ("csf_res2net101_336_train_microstep_ms[bf16,B=8]",
+                       lambda v: v / 8.0),
 }
 
 
-def _measured_per_img_ms(family: str) -> float:
+def _measured_per_img_ms(family: str, arch: str) -> float:
     import json
 
     with open(os.path.join(REPO, "tools", "bench_reference.json")) as f:
         ref = json.load(f)
-    key, to_ms = _MEASURED[family]
+    key, to_ms = _MEASURED[family if family == "csnet" else f"csf/{arch}"]
     return to_ms(ref[key])
 
 
@@ -254,7 +256,7 @@ def _schedules(family: str, tiny: bool) -> list:
 
 
 def run_plan(family: str, meshes: list, *, tiny: bool,
-             ici_bw: float, log=print) -> list:
+             ici_bw: float, arch: str = "res2net50", log=print) -> list:
     import jax
 
     # the inventory parser handles the CPU backend's SYNC collective forms
@@ -264,15 +266,19 @@ def run_plan(family: str, meshes: list, *, tiny: bool,
     rows = []
     lower = lower_csnet_step if family == "csnet" else lower_csf_step
     for label, per_dev_imgs, kwargs in _schedules(family, tiny):
+        if family == "csf":
+            kwargs = dict(kwargs, arch=arch)
         for d, s in meshes:
             n = d * s
             txt, grad_bytes = lower(_mesh(d, s), **kwargs)
             inv = collective_inventory(txt)
             step_ms = (float("nan") if tiny
-                       else _measured_per_img_ms(family) * per_dev_imgs)
+                       else _measured_per_img_ms(family, arch) * per_dev_imgs)
             p = predict(inv, n, step_ms, ici_bw)
-            name = f"{family} {label}".strip()
+            name = (f"{family} {label}".strip() if family == "csnet"
+                    else f"{family}[{arch}] {label}".strip())
             rows.append({"family": family, "schedule": label,
+                         **({"arch": arch} if family == "csf" else {}),
                          "mesh": f"{d}x{s}", "devices": n,
                          "grad_mb": grad_bytes / 2**20,
                          "inventory": inv, **p, "step_ms": step_ms})
@@ -296,6 +302,9 @@ def main() -> None:
                     help="small shapes (fast compiles; no time prediction)")
     ap.add_argument("--ici-bw", type=float, default=4.5e10,
                     help="ICI bytes/s per link direction (model constant)")
+    ap.add_argument("--arch", choices=("res2net50", "res2net101", "both"),
+                    default="both",
+                    help="CSF backbone(s) to plan (csnet ignores this)")
     ap.add_argument("--json", default="",
                     help="also write the rows (inventories + predictions) "
                          "to this JSON file")
@@ -333,7 +342,12 @@ def main() -> None:
     rows = []
     for family in (("csnet", "csf") if args.family == "both"
                    else (args.family,)):
-        rows += run_plan(family, meshes, tiny=args.tiny, ici_bw=args.ici_bw)
+        archs = (("res2net50",) if family == "csnet"
+                 else (("res2net50", "res2net101") if args.arch == "both"
+                       else (args.arch,)))
+        for arch in archs:
+            rows += run_plan(family, meshes, tiny=args.tiny,
+                             ici_bw=args.ici_bw, arch=arch)
     if args.json:
         import json
 
