@@ -148,7 +148,19 @@ def evaluate_pairs_native(pairs, num_threads: int = 8) -> dict:
 
 def run_eval(cfg, epoch_range=(0, 1), method: str | None = None,
              backend: str | None = None, datasets=None,
-             wfmeasure: bool = False, log=print) -> dict:
+             wfmeasure: bool = False, suite: str = "reference",
+             log=print) -> dict:
+    """suite="reference" (default): the per-backend reference surface —
+    MaxF/MAE/MeanF (+ the device backend's always-on extras), wF only
+    behind `wfmeasure`. suite="full": ONE invocation reports the whole
+    modern suite on either backend — MAE, max/mean/adaptive F, max/mean/
+    adaptive E, S, wF — with host fallbacks (the jax-on-CPU accumulator +
+    scipy wF) filling whatever the native backend doesn't compute. The
+    per-epoch FmeasureResult file keeps the 7-line reference contract
+    either way (format_report)."""
+    if suite not in ("reference", "full"):
+        raise SystemExit(f"--suite must be reference|full, got {suite}")
+    full = suite == "full"
     method = method or cfg.TASK or cfg.MODEL.ARCH
     backend = backend or cfg.TPU.EVAL_BACKEND
     if backend == "device":
@@ -178,13 +190,25 @@ def run_eval(cfg, epoch_range=(0, 1), method: str | None = None,
                     plist.writelines(f"{sp} {gp}\n" for sp, gp in pairs)
                 res = (evaluate_pairs_native(pairs) if backend == "native"
                        else evaluate_pairs_device(
-                           pairs, with_wfmeasure=wfmeasure, log=log))
+                           pairs, with_wfmeasure=wfmeasure or full, log=log))
+                if full and backend == "native":
+                    # host fallback: the native tool computes the reference
+                    # block only; fill the modern metrics from the
+                    # accumulator path (jax-on-CPU) + scipy wF
+                    extra = evaluate_pairs_device(pairs, with_wfmeasure=True,
+                                                  log=log)
+                    for key in ("adaptive_f", "adaptive_e", "emeasure",
+                                "max_e", "mean_e", "s_measure", "weighted_f"):
+                        res[key] = extra[key]
                 report = (f"epoch {epoch} {ds}: MaxF {res['max_f']:.6f} "
                           f"MAE {res['mae']:.6f} MeanF {res['mean_f']:.6f}")
                 if "adaptive_f" in res:
                     report += f" AdpF {res['adaptive_f']:.6f}"
                 if "max_e" in res:
                     report += f" MaxE {res['max_e']:.6f}"
+                if full:
+                    report += (f" MeanE {res['mean_e']:.6f}"
+                               f" AdpE {res['adaptive_e']:.6f}")
                 if "s_measure" in res:
                     report += f" S {res['s_measure']:.6f}"
                 if "weighted_f" in res:
@@ -216,6 +240,12 @@ def main() -> None:
     parser.add_argument("--wfmeasure", action="store_true",
                         help="also report the weighted F-measure (Margolin "
                         "CVPR'14; device backend only, host-side scipy)")
+    parser.add_argument("--suite", default="reference",
+                        choices=["reference", "full"],
+                        help="'full' reports the whole modern suite from "
+                        "one invocation (MAE, max/mean/adaptive F and E, "
+                        "S-measure, weighted F) on either backend; "
+                        "'reference' keeps the per-backend default surface")
     args = parser.parse_args()
     cfg = get_cfg()
     cfg.merge_from_file(args.config)
@@ -223,7 +253,8 @@ def main() -> None:
         cfg.TASK = cfg.MODEL.ARCH
     b, e = (int(v) for v in args.range.split(","))
     run_eval(cfg, epoch_range=(b, e), method=args.method,
-             backend=args.backend, wfmeasure=args.wfmeasure)
+             backend=args.backend, wfmeasure=args.wfmeasure,
+             suite=args.suite)
 
 
 if __name__ == "__main__":

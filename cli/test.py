@@ -112,6 +112,10 @@ def dump_saliency_maps(cfg, lc, params, epoch, log=print,
     results = {}
     from concurrent.futures import ThreadPoolExecutor
 
+    # ceil-to-16 native-size batching (TEST.BATCH / cli.test --test_batch):
+    # consecutive same-resized-shape images share one dispatch
+    native_tb = max(int(cfg.TEST.BATCH or 1), 1) if not fixed else 1
+
     for dataset in cfg.TEST.DATASETS:
         sal_dir = os.path.join(cfg.DATA.SAVEDIR, task,
                                f"{dir_prefix}{dataset}_{epoch}")
@@ -119,6 +123,17 @@ def dump_saliency_maps(cfg, lc, params, epoch, log=print,
         img_dir = os.path.join(cfg.TEST.DATASET_PATH, dataset, "images")
         names = sorted(os.listdir(img_dir))
         t0 = time.time()
+
+        if native_tb > 1:
+            n_done = _dump_native_batched(
+                cfg, eval_step, params, names, img_dir, sal_dir,
+                tb=native_tb, dtype=dtype)
+            dt = time.time() - t0
+            log(f"Dataset: {dataset}, {n_done} images, "
+                f"{n_done / dt:.2f} img/s (native batched x{native_tb})")
+            results[dataset] = {"n": n_done, "sal_dir": sal_dir,
+                                "img_per_sec": n_done / dt}
+            continue
 
         def load(name):
             if dev_pre:
@@ -195,6 +210,68 @@ def dump_saliency_maps(cfg, lc, params, epoch, log=print,
         results[dataset] = {"n": len(names), "sal_dir": sal_dir,
                             "img_per_sec": len(names) / dt}
     return results
+
+
+def _dump_native_batched(cfg, eval_step, params, names, img_dir, sal_dir,
+                         *, tb: int, dtype) -> int:
+    """Ceil-to-16 native-size protocol, batched (cli.test --test_batch —
+    the CSNet counterpart of cli.csf --test_batch, cli/csf.py run_test).
+
+    Consecutive images whose resized (ceil-to-16, test.py:75-86) shapes
+    match are concatenated into ONE dispatch; a trailing partial group pads
+    by repeating the last image (rows discarded after readback). Per-sample
+    conv math is batch-independent, so the PNGs are bit-identical to the
+    per-image reference loop (tests/test_cli.py pins this); the win is
+    amortized dispatch latency + MXU occupancy on uniform-size lists. The
+    f32 host parity dialect is kept: host normalize in, f32 maps out,
+    host resize-back + *255 quantization per image. jit caches one
+    executable per distinct resized shape, like the per-image mode."""
+    import cv2
+    from concurrent.futures import ThreadPoolExecutor
+
+    pending = None  # one-deep pipeline, same as the fixed-size loop
+    buf: list = []  # [(name, (h, w), img_1hw3_f32)]
+
+    def flush(p):
+        group, dev_preds, k = p
+        preds = np.asarray(dev_preds)[:k]
+        for (name, (h, w), _), pred in zip(group, preds):
+            out = (resize_bilinear_np(pred[..., 0], (h, w)) * 255
+                   ).astype(np.uint8)
+            cv2.imwrite(os.path.join(
+                sal_dir, os.path.splitext(name)[0] + ".png"), out)
+
+    def dispatch():
+        nonlocal pending
+        k = len(buf)
+        stack = [b[2] for b in buf] + [buf[-1][2]] * (tb - k)
+        x = jnp.asarray(np.concatenate(stack), dtype)
+        preds = eval_step(params, x).astype(jnp.float32)
+        if pending is not None:
+            flush(pending)
+        pending = (list(buf), preds, k)
+        buf.clear()
+
+    def load(name):
+        img, hw = preprocess_test_image(os.path.join(img_dir, name))
+        return name, hw, img
+
+    with ThreadPoolExecutor(max_workers=max(cfg.DATA.WORKERS, 1)) as pool:
+        fut = pool.submit(load, names[0]) if names else None
+        for i in range(len(names)):
+            name, hw, img = fut.result()
+            if i + 1 < len(names):
+                fut = pool.submit(load, names[i + 1])
+            if buf and buf[0][2].shape != img.shape:
+                dispatch()  # shape break: flush the current same-shape run
+            buf.append((name, hw, img))
+            if len(buf) == tb:
+                dispatch()
+        if buf:
+            dispatch()
+        if pending is not None:
+            flush(pending)
+    return len(names)
 
 
 def run_testall_resident(cfg, log=print) -> dict:
@@ -299,6 +376,7 @@ def run_testall_resident(cfg, log=print) -> dict:
                       f"MeanF {res['mean_f']:.6f} "
                       f"AdpF {res['adaptive_f']:.6f} "
                       f"MaxE {res['max_e']:.6f} "
+                      f"AdpE {res['adaptive_e']:.6f} "
                       f"S {res['s_measure']:.6f}")
             if "weighted_f" in res:
                 report += f" wF {res['weighted_f']:.6f}"
@@ -341,9 +419,16 @@ def main() -> None:
     parser = argparse.ArgumentParser(description="TPU SOD inference (CSNet)")
     parser.add_argument("--config", required=True, metavar="FILE")
     parser.add_argument("--skip-eval", action="store_true")
+    parser.add_argument("--test_batch", type=int, default=0, metavar="N",
+                        help="ceil-to-16 native-size mode: batch up to N "
+                        "consecutive same-resized-shape images per dispatch "
+                        "(bit-identical PNGs; overrides TEST.BATCH). "
+                        "Fixed-size configs batch via DATA.BATCH_SIZE.")
     args = parser.parse_args()
     cfg = get_cfg()
     cfg.merge_from_file(args.config)
+    if args.test_batch:
+        cfg.TEST.BATCH = args.test_batch
     if not cfg.TASK:
         cfg.TASK = cfg.MODEL.ARCH
     if cfg.TEST.TESTALL:

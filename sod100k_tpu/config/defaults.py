@@ -47,6 +47,12 @@ _C.TEST.IMAGE_H = 0
 _C.TEST.IMAGE_W = 0
 _C.TEST.TESTALL = False
 _C.TEST.MODEL_CONFIG = ""
+# ceil-to-16 native-size mode only (TEST.IMAGE_H/W = 0): batch consecutive
+# images whose resized shapes match into one dispatch (cli.test
+# --test_batch; bit-identical PNGs to the per-image reference loop,
+# test.py:75-98 — the counterpart of cli.csf --test_batch). Fixed-size
+# configs batch via DATA.BATCH_SIZE already.
+_C.TEST.BATCH = 1
 
 _C.SOLVER = CN()
 _C.SOLVER.METHOD = "Adam"

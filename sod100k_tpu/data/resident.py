@@ -258,12 +258,13 @@ def make_resident_salmetric_fn(eval_step, *, batch_size: int,
     checkpoint is ONE dispatched scan: forward -> per-image resize-back to
     native size -> trunc(sigmoid*255) (the exact PNG quantization) ->
     histogram MAE / 256-threshold P/R / E-measure (metrics.salmetric math)
-    + adaptive-F + S-measure — only seven metric sums come back over the wire.
+    + adaptive-F + adaptive-E + S-measure — only the metric sums come back
+    over the wire.
 
     eval_step: make_eval_step(lc, from_u8=True, ...). Returns
     fn(params, data) -> dict of PER-BATCH device sums, each with a leading
     (nb,) axis: {"n", "mae_sum", "p_sum"[256], "r_sum"[256], "e_sum"[256],
-    "a_sum", "s_sum", and — when the store was built with_wf_tables —
+    "a_sum", "ae_sum", "s_sum", and — when the store was built with_wf_tables —
     "w_sum" (weighted F-measure, GT-static tables precomputed on host,
     sal-dependent gather/conv/reduce on device)} — the cross-batch
     reduction happens on host in float64
@@ -272,6 +273,7 @@ def make_resident_salmetric_fn(eval_step, *, batch_size: int,
     reference's test.py:58-108 + eval.py + sal_metric.cpp pipeline."""
     from sod100k_tpu.metrics.salmetric import (
         _per_image_stats,
+        adaptive_e_per_image,
         adaptive_f_per_image,
     )
     from sod100k_tpu.metrics.smeasure import s_measure_batch
@@ -303,6 +305,7 @@ def make_resident_salmetric_fn(eval_step, *, batch_size: int,
             gt_f = gt.astype(jnp.float32)
             mae, pre, rec, em = _per_image_stats(sal255, gt_f, mask)
             af = adaptive_f_per_image(sal255, gt_f, mask)
+            ae = adaptive_e_per_image(sal255, gt_f, mask)
             sm = s_measure_batch(sal255 / 255.0,
                                  (gt_f > 128).astype(jnp.float32), mask)
             out = {
@@ -312,6 +315,7 @@ def make_resident_salmetric_fn(eval_step, *, batch_size: int,
                 "r_sum": jnp.sum(rec * wt[:, None], axis=0),
                 "e_sum": jnp.sum(em * wt[:, None], axis=0),
                 "a_sum": jnp.sum(af * wt),
+                "ae_sum": jnp.sum(ae * wt),
                 "s_sum": jnp.sum(sm * wt),
             }
             if with_wf:

@@ -141,6 +141,30 @@ def adaptive_f_per_image(sal: jax.Array, gt: jax.Array, mask: jax.Array):
     return jnp.where(inter > 0, f, 0.0)
 
 
+@jax.jit
+def adaptive_e_per_image(sal: jax.Array, gt: jax.Array, mask: jax.Array):
+    """Per-image adaptive E-measure (the 'adp' protocol of the public
+    PySODMetrics suite, completing the max/mean/adaptive triple for E like
+    adaptive_f_per_image does for F): binarize each prediction at
+    min(2 * its own mean, 255) — the same adaptive threshold and >=
+    convention as adaptive-F — then score that single binary map with the
+    E-measure confusion-count closed form, including the official
+    degenerate-GT special cases (_e_measure_from_counts).
+
+    sal/gt: (B, H, W) in [0, 255]; mask marks valid pixels (padding = 0)."""
+    sal = sal.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
+    npix = jnp.maximum(jnp.sum(mask, axis=(1, 2)), 1.0)
+    mean = jnp.sum(sal * mask, axis=(1, 2)) / npix
+    th = jnp.minimum(2.0 * mean, 255.0)
+    binary = (sal >= th[:, None, None]).astype(jnp.float32) * mask
+    pos = (gt.astype(jnp.float32) > THRESHOLDS / 2).astype(jnp.float32) * mask
+    tp = jnp.sum(binary * pos, axis=(1, 2))
+    a = jnp.sum(binary, axis=(1, 2))
+    b = jnp.sum(pos, axis=(1, 2))
+    return _e_measure_from_counts(tp, a, b, npix)
+
+
 class SalMetricAccumulator:
     """Streaming macro-average accumulator over an image set."""
 
@@ -151,6 +175,7 @@ class SalMetricAccumulator:
         self.recall = np.zeros(THRESHOLDS, np.float64)
         self.emeasure = np.zeros(THRESHOLDS, np.float64)
         self.adaptive_f = 0.0
+        self.adaptive_e = 0.0
 
     def update_batch(self, sal: np.ndarray, gt: np.ndarray,
                      mask: np.ndarray | None = None, count: int | None = None):
@@ -163,6 +188,8 @@ class SalMetricAccumulator:
         )
         af = adaptive_f_per_image(
             jnp.asarray(sal), jnp.asarray(gt), jnp.asarray(mask))
+        ae = adaptive_e_per_image(
+            jnp.asarray(sal), jnp.asarray(gt), jnp.asarray(mask))
         k = sal.shape[0] if count is None else count
         self.n += k
         self.mae += float(jnp.sum(mae[:k]))
@@ -170,6 +197,7 @@ class SalMetricAccumulator:
         self.recall += np.asarray(jnp.sum(rec[:k], axis=0), np.float64)
         self.emeasure += np.asarray(jnp.sum(em[:k], axis=0), np.float64)
         self.adaptive_f += float(jnp.sum(af[:k]))
+        self.adaptive_e += float(jnp.sum(ae[:k]))
 
     def result(self) -> dict:
         assert self.n > 0, "no images accumulated"
@@ -200,6 +228,7 @@ class SalMetricAccumulator:
             "max_e": float(e.max()),
             "mean_e": float(e.mean()),
             "adaptive_f": self.adaptive_f / self.n,
+            "adaptive_e": self.adaptive_e / self.n,
         }
 
 
@@ -222,6 +251,8 @@ def result_from_sums(sums) -> dict:
     acc.emeasure = total(sums["e_sum"])
     if "a_sum" in sums:
         acc.adaptive_f = float(total(sums["a_sum"]))
+    if "ae_sum" in sums:
+        acc.adaptive_e = float(total(sums["ae_sum"]))
     res = acc.result()
     res["s_measure"] = float(total(sums["s_sum"])) / acc.n
     if "w_sum" in sums:

@@ -347,6 +347,7 @@ def test_resident_salmetric_matches_host_protocol(tmp_path):
     assert got["mae"] == pytest.approx(host["mae"], abs=1e-4)
     assert got["max_f"] == pytest.approx(host["max_f"], abs=1e-4)
     assert got["adaptive_f"] == pytest.approx(host["adaptive_f"], abs=1e-4)
+    assert got["adaptive_e"] == pytest.approx(host["adaptive_e"], abs=1e-4)
     assert got["s_measure"] == pytest.approx(host["s_measure"], abs=1e-4)
     assert got["weighted_f"] == pytest.approx(host["weighted_f"], abs=5e-4)
     np.testing.assert_allclose(got["precision"], host["precision"], atol=2e-4)

@@ -615,3 +615,102 @@ def test_adaptive_f_matches_brute_force():
     acc = SalMetricAccumulator()
     acc.update_batch(sal_p, gt_p, mask=m)
     assert acc.result()["adaptive_f"] == pytest.approx(np.mean(want), abs=1e-6)
+
+
+def test_adaptive_e_matches_brute_force():
+    """Device adaptive-E (closed form over confusion counts) == a direct
+    numpy transcription of the PySODMetrics 'adp' protocol: binarize at
+    min(2*mean, 255), full SPATIAL alignment-matrix E-measure of that
+    binary map, official degenerate-GT special cases, n-1 normalization —
+    per-image, through padded batches, and via the accumulator."""
+    from sod100k_tpu.metrics.salmetric import adaptive_e_per_image
+
+    def oracle(sal, gt):
+        eps = 1e-12
+        sal = sal.astype(np.float64)
+        th = min(2.0 * sal.mean(), 255.0)
+        fm = (sal >= th).astype(np.float64)
+        g = (gt.astype(np.float64) > 128).astype(np.float64)
+        n = sal.size
+        if g.sum() == 0:
+            enhanced_sum = float((1.0 - fm).sum())
+        elif g.sum() == n:
+            enhanced_sum = float(fm.sum())
+        else:
+            df = fm - fm.mean()
+            dg = g - g.mean()
+            align = 2.0 * df * dg / (df * df + dg * dg + eps)
+            enhanced_sum = float((np.square(align + 1.0) / 4.0).sum())
+        return enhanced_sum / (n - 1.0 + eps)
+
+    sals, gts = _synthetic(n=5, hw=(23, 31))  # includes empty + full GT
+    want = [oracle(s, g) for s, g in zip(sals, gts)]
+    got = np.asarray(adaptive_e_per_image(
+        np.stack(sals).astype(np.float32), np.stack(gts).astype(np.float32),
+        np.ones((5, 23, 31), np.float32)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # padded batch with masks: padding must enter neither the adaptive
+    # threshold nor the alignment means / pixel count
+    H, W = 32, 40
+    sal_p = np.full((5, H, W), 200.0, np.float32)
+    gt_p = np.zeros((5, H, W), np.float32)
+    m = np.zeros((5, H, W), np.float32)
+    for i, (s, g) in enumerate(zip(sals, gts)):
+        sal_p[i, :23, :31] = s
+        gt_p[i, :23, :31] = g
+        m[i, :23, :31] = 1
+    got_p = np.asarray(adaptive_e_per_image(sal_p, gt_p, m))
+    np.testing.assert_allclose(got_p, want, atol=1e-5)
+
+    acc = SalMetricAccumulator()
+    acc.update_batch(sal_p, gt_p, mask=m)
+    assert acc.result()["adaptive_e"] == pytest.approx(np.mean(want), abs=1e-5)
+
+
+def test_eval_suite_full_reports_everything(tmp_path):
+    """cli.eval --suite full: ONE invocation reports the whole modern suite
+    — MAE, max/mean/adaptive F, max/mean/adaptive E, S, wF — on BOTH
+    backends (host fallbacks fill what the native tool doesn't compute),
+    each value equal to its per-metric path."""
+    cv2 = pytest.importorskip("cv2")
+    from cli.eval import _pairs, evaluate_pairs_device, run_eval
+    from sod100k_tpu.config import get_cfg
+
+    sal_dir = tmp_path / "save" / "m" / "ECSSD_0"
+    gt_dir = tmp_path / "data" / "ECSSD" / "GT"
+    sal_dir.mkdir(parents=True)
+    gt_dir.mkdir(parents=True)
+    rng = np.random.default_rng(5)
+    for i in range(4):
+        h, w = 40 + 3 * i, 44
+        gt = np.zeros((h, w), np.uint8)
+        gt[10:h - 10, 8:w - 8] = 255
+        sal = np.clip(gt.astype(np.int32)
+                      + rng.integers(-100, 100, (h, w)), 0, 255).astype(np.uint8)
+        cv2.imwrite(str(sal_dir / f"p{i}.png"), sal)
+        cv2.imwrite(str(gt_dir / f"p{i}.png"), gt)
+
+    cfg = get_cfg()
+    cfg.TASK = "m"
+    cfg.DATA.SAVEDIR = str(tmp_path / "save")
+    cfg.TEST.DATASET_PATH = str(tmp_path / "data")
+    cfg.TEST.DATASETS = ["ECSSD"]
+
+    want = evaluate_pairs_device(_pairs(str(sal_dir), str(gt_dir)),
+                                 with_wfmeasure=True, log=lambda *a: None)
+    labels = {"MaxF": "max_f", "MAE": "mae", "MeanF": "mean_f",
+              "AdpF": "adaptive_f", "MaxE": "max_e", "MeanE": "mean_e",
+              "AdpE": "adaptive_e", "S": "s_measure", "wF": "weighted_f"}
+    for backend in ("device", "native"):
+        lines = []
+        run_eval(cfg, epoch_range=(0, 1), backend=backend, suite="full",
+                 log=lambda msg, display=True: lines.append(str(msg)))
+        rep = next(ln for ln in lines if ln.startswith("epoch 0"))
+        toks = rep.split()
+        got = {toks[j]: float(toks[j + 1])
+               for j in range(3, len(toks) - 1, 2)}
+        for label, key in labels.items():
+            assert label in got, (backend, rep)
+            assert got[label] == pytest.approx(want[key], abs=5e-5), \
+                (backend, label)
