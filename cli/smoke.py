@@ -43,7 +43,8 @@ def _print_log(msg, display: bool = True) -> None:
 
 def run_smoke(data_root: str, save_dir: str, *, train_epochs: int = 2,
               finetune_epochs: int = 1, image_hw: int = 64,
-              batch_size: int = 4, log=_print_log) -> dict:
+              batch_size: int = 4, mesh_shape: str = "",
+              log=_print_log) -> dict:
     from sod100k_tpu.config import get_cfg
 
     from .eval import run_eval
@@ -71,6 +72,15 @@ def run_smoke(data_root: str, save_dir: str, *, train_epochs: int = 2,
     cfg.SOLVER.METHOD = "Adam_dynamic_weight_decay"
     cfg.SOLVER.LR = 1e-3
     cfg.FINETUNE.THRES = 1e-6
+    # COMPOSED sharded recipe: one TPU.MESH_SHAPE threads the 2-D
+    # data x spatial mesh through every stage below — train on the mesh,
+    # prune from the sharded-trained gammas, finetune-restart on the live
+    # mesh, sharded test dispatches, resident sweep — the full reference
+    # chain (train.py -> finetune.py -> test.py -> eval.py) under sharding,
+    # not four individually-certified programs
+    cfg.TPU.MESH_SHAPE = mesh_shape
+    if mesh_shape:
+        log(f"[smoke] composed recipe on mesh {mesh_shape}")
 
     log(f"[smoke 1/5] train {train_epochs} epochs on {cfg.DATA.DIR}")
     trained = run_training(cfg, max_epochs=train_epochs, log=log)
@@ -132,6 +142,11 @@ def main() -> None:
     ap.add_argument("--save-dir", default=None)
     ap.add_argument("--train-epochs", type=int, default=2)
     ap.add_argument("--image-hw", type=int, default=64)
+    ap.add_argument("--mesh_shape", default="", metavar="DxS",
+                    help="run the WHOLE chain (train -> prune/finetune -> "
+                    "test -> eval -> resident sweep) on a 2-D data x "
+                    "spatial mesh, e.g. 4x2 (1x1 = degenerate single-"
+                    "device sanity on the real chip)")
     args = ap.parse_args()
     if not args.data_root and not args.dry_data and not args.fetch:
         raise SystemExit("pass --data-root DIR, --dry-data, or --fetch NAME")
@@ -191,7 +206,7 @@ def main() -> None:
         make_dry_data(data_root)
     save_dir = args.save_dir or tempfile.mkdtemp(prefix="sod_smoke_")
     out = run_smoke(data_root, save_dir, train_epochs=args.train_epochs,
-                    image_hw=args.image_hw)
+                    image_hw=args.image_hw, mesh_shape=args.mesh_shape)
     raise SystemExit(0 if out["ok"] else 1)
 
 

@@ -57,6 +57,58 @@ def test_fetch_extract_validate_and_tofu(tiny_spec, tmp_path):
     assert F.fetch_dataset("TINY", root, log=logs.append) == got
 
 
+def test_fetch_to_full_recipe_dress_rehearsal(tmp_path, monkeypatch):
+    """The real-data day as ONE command (VERDICT r4 item 7): cli.smoke
+    --fetch all from a COLD tmpdir — download (file:// stand-ins shaped
+    like the real zips) -> validate/pin checksums -> train -> prune+
+    finetune -> test -> eval -> resident sweep — exits 0 and emits the
+    checkpoint-relative FmeasureResults accuracy tables. The moment a
+    round has network, the real run is this command with real URLs."""
+    cv2 = pytest.importorskip("cv2")  # noqa: F841
+    import sys
+
+    from sod100k_tpu.data.synth import make_synth_split
+
+    # file:// archives shaped like the real distributions (nested folder)
+    for name, n, seed in (("DUTS-TR", 8, 3), ("ECSSD", 4, 4)):
+        src = tmp_path / f"src_{name}"
+        make_synth_split(str(src), n, hw=(96, 128), jitter=10, seed=seed)
+        iz = tmp_path / f"{name}_images.zip"
+        gz = tmp_path / f"{name}_gt.zip"
+        for zpath, d, sub in ((iz, src / "images", f"{name}_images"),
+                              (gz, src / "GT", "ground_truth_mask")):
+            with zipfile.ZipFile(zpath, "w") as z:
+                for e in sorted(os.listdir(d)):
+                    z.write(d / e, f"{sub}/{e}")
+        monkeypatch.setitem(F.DATASETS, name, {
+            "archives": {"images": {"url": f"file://{iz}"},
+                         "GT": {"url": f"file://{gz}"}},
+            "count": n,
+        })
+
+    from cli.smoke import main
+
+    root = str(tmp_path / "cold_data")
+    save = str(tmp_path / "cold_save")
+    monkeypatch.setattr(sys, "argv", [
+        "smoke", "--fetch", "all", "--data-root", root, "--save-dir", save,
+        "--train-epochs", "1"])
+    with pytest.raises(SystemExit) as e:
+        main()
+    assert e.value.code == 0
+    # the fetch actually populated the cold root (not the dry-data path)
+    assert len(os.listdir(os.path.join(root, "DUTS-TR", "images"))) == 8
+    sums = json.load(open(os.path.join(root, "CHECKSUMS.json")))
+    assert "DUTS-TR/images" in sums and "ECSSD/GT" in sums
+    # checkpoint-relative accuracy tables fell out of the eval stage
+    table = os.path.join(save, "smoke", "FmeasureResults_ECSSD.txt")
+    assert os.path.isfile(table)
+    lines = open(table).read().strip().splitlines()
+    assert lines and all("MaxF" in ln and "MAE" in ln for ln in lines)
+    assert os.path.isfile(os.path.join(
+        save, "smoke", "FmeasureResults_ECSSD_resident.txt"))
+
+
 def test_fetch_rejects_checksum_mismatch(tiny_spec, tmp_path):
     root = str(tmp_path / "data2")
     bad = {"images": "0" * 64}
