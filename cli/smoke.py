@@ -121,7 +121,7 @@ def run_smoke(data_root: str, save_dir: str, *, train_epochs: int = 2,
     log(f"[smoke] {'OK' if ok else 'FAILED'}: best_mae={trained['best_mae']:.4f} "
         f"eval={best} resident_eval={resident_best}")
     return {"ok": ok, "trained": trained, "finetuned": ft, "eval": best,
-            "resident_eval": resident_best}
+            "resident_eval": resident_best, "cfg": cfg}
 
 
 def main() -> None:
