@@ -19,4 +19,5 @@ def test_dryrun_multichip_covers_both_families(capsys):
     assert "mesh={'data': 4, 'spatial': 2}" in out
     assert "sharded over 8 devices" in out
     assert "resident epoch(8)" in out
-    assert "CSF+Res2Net(8, data x spatial)" in out
+    assert "CSF+res2net50(8, data x spatial)" in out
+    assert "CSF+res2net101(8, data x spatial)" in out

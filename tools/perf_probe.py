@@ -241,8 +241,9 @@ V5E_PEAK_FLOPS = 197e12
 V5E_PEAK_BW = 819e9
 
 
-def csf():
-    """CSF+Res2Net-50 @336 single-chip characterization: why is the train
+def csf(arch: str = "res2net50"):
+    """CSF+Res2Net @336 single-chip characterization (`csf [res2net101]`
+    picks the backbone; default res2net50): why is the train
     micro-step's throughput flat ~330 img/s from B=8 to B=32, and how much
     MFU headroom does batched inference have? Reports measured ms + compiled
     FLOPs / bytes (XLA cost_analysis) per program variant -> MFU and HBM-BW
@@ -260,7 +261,7 @@ def csf():
         make_csf_train_step,
     )
 
-    params = csf_init(jax.random.key(3))
+    params = csf_init(jax.random.key(3), backbone=arch)
     p16 = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
     rng = np.random.default_rng(3)
 
@@ -275,7 +276,7 @@ def csf():
     for Bb in (1, 8, 32, 64):
         x = jnp.asarray(rng.standard_normal(
             (Bb, 336, 336, 3), dtype=np.float32), jnp.bfloat16)
-        fwd = lambda v: csf_apply(p16, v, "res2net50")  # noqa: E731
+        fwd = lambda v: csf_apply(p16, v, arch)  # noqa: E731
         ms = _best_ms(scan_run(fwd, x), x)
         # _cost is on the single (un-scanned) forward: do NOT divide by K —
         # _best_ms already reports per-iteration time.
@@ -288,7 +289,7 @@ def csf():
         (Bb, 336, 336, 3), dtype=np.float32), jnp.bfloat16)
     prev_ms, prev_fl = 0.0, 0.0
     for k in range(4):
-        trunc = lambda v, k=k: res2net_features(p16["base"], v)[k]  # noqa: E731
+        trunc = lambda v, k=k: res2net_features(p16["base"], v, arch)[k]  # noqa: E731
         ms = _best_ms(scan_run(trunc, x), x)
         fl, _ = _cost(trunc, x)
         print(f"backbone through stage{k + 1} B={Bb}: {ms:.2f} ms "
@@ -297,7 +298,7 @@ def csf():
               f"{(fl - prev_fl) / max(ms - prev_ms, 1e-9) / 1e-3 / V5E_PEAK_FLOPS * 100:.1f}% MFU)",
               flush=True)
         prev_ms, prev_fl = ms, fl
-    full = lambda v: csf_apply(p16, v, "res2net50")  # noqa: E731
+    full = lambda v: csf_apply(p16, v, arch)  # noqa: E731
     ms_full = _best_ms(scan_run(full, x), x)
     print(f"full B={Bb}: {ms_full:.2f} ms "
           f"(CSF head alone ~{ms_full - prev_ms:.2f} ms)", flush=True)
@@ -311,7 +312,8 @@ def csf():
     trainable, state = csf_partition(params)
     for Bb, remat in ((8, False), (32, False), (8, True), (32, True)):
         tx = make_csf_optimizer(iter_size=10)
-        step = make_csf_train_step(tx, iter_size=10, batch_size=Bb,
+        step = make_csf_train_step(tx, backbone=arch, iter_size=10,
+                                   batch_size=Bb,
                                    compute_dtype=jnp.bfloat16, remat=remat)
         batch = {
             "image": jnp.asarray(rng.standard_normal(
@@ -344,4 +346,4 @@ def csf():
 
 if __name__ == "__main__":
     {"ablate": ablate, "dwlayout": dwlayout, "scatter": scatter,
-     "trainb": trainb, "csf": csf}[sys.argv[1]]()
+     "trainb": trainb, "csf": csf}[sys.argv[1]](*sys.argv[2:])
