@@ -42,9 +42,6 @@ def main(argv=None) -> None:
                          "N = first N (default single device)")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the per-bucket warm-up dispatches")
-    ap.add_argument("--pipeline", action="store_true",
-                    help="one-deep pipelined batcher: group k+1 forms on a "
-                         "collector thread while batch k executes")
     args = ap.parse_args(argv)
 
     # persistent compile cache: warm-up compiles every bucket at startup —
@@ -62,8 +59,7 @@ def main(argv=None) -> None:
     model = load_artifact(args.artifact, mesh_devices=args.mesh_devices)
     srv = make_server(model, args.host, args.port,
                       max_wait_ms=args.max_wait_ms,
-                      warmup=not args.no_warmup,
-                      pipeline=args.pipeline)
+                      warmup=not args.no_warmup)
     m = model.meta
     print(f"serving {m['family']} {m['h']}x{m['w']} wire={m.get('wire', 'f32')} "
           f"buckets={model.batches} on http://{srv.server_address[0]}:"

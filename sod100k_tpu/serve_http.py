@@ -71,17 +71,17 @@ class Batcher:
     """
 
     def __init__(self, model, *, max_wait_ms: float = 3.0,
-                 max_batch: int | None = None, autostart: bool = True,
-                 pipeline: bool = False):
-        """pipeline=True splits the dispatcher into a collector thread
-        (drain queue + host-side concat) and a device thread, with a
-        depth-1 handoff — group k+1 forms while batch k executes (the
-        drivers' one-deep pipelining). Off by default: flip only where a
-        measurement says so (tools/bench_serve.py --pipeline)."""
+                 max_batch: int | None = None, autostart: bool = True):
+        """A one-deep pipelined variant (collector + device threads with a
+        depth-1 handoff) was built flag-gated and MEASURED SLOWER-OR-EQUAL
+        on chip (tools/bench_serve.py A/B, 6 runs across both wires:
+        served/direct u8 0.61/0.52 plain vs 0.59/0.38 pipelined; f32
+        within the tunnel-noise band) — the wire dominates, so there is
+        nothing for the handoff to overlap — and was deleted per the
+        measure-or-remove rule (docs/ROUND5.md)."""
         self.model = model
         self.max_wait_s = max_wait_ms / 1e3
         self.max_batch = int(max_batch or model.batches[-1])
-        self.pipeline = pipeline
         self._queue: list[_Request] = []
         self._cond = threading.Condition()
         self._stopped = False
@@ -140,19 +140,8 @@ class Batcher:
     def start(self) -> None:
         if self._threads:
             return
-        if self.pipeline:
-            import queue
-
-            self._handoff: "queue.Queue" = queue.Queue(maxsize=1)
-            self._threads = [
-                threading.Thread(target=self._collect, daemon=True,
-                                 name="serve-collector"),
-                threading.Thread(target=self._device_loop, daemon=True,
-                                 name="serve-dispatcher"),
-            ]
-        else:
-            self._threads = [threading.Thread(target=self._run, daemon=True,
-                                              name="serve-dispatcher")]
+        self._threads = [threading.Thread(target=self._run, daemon=True,
+                                          name="serve-dispatcher")]
         for t in self._threads:
             t.start()
 
@@ -232,23 +221,6 @@ class Batcher:
             self._dispatch(group, [r.images.shape[0] for r in group],
                            self._concat(group))
 
-    def _collect(self) -> None:
-        while True:
-            group = self._take_group()
-            if group is None:
-                self._handoff.put(None)
-                return
-            self._handoff.put(
-                (group, [r.images.shape[0] for r in group],
-                 self._concat(group)))
-
-    def _device_loop(self) -> None:
-        while True:
-            item = self._handoff.get()
-            if item is None:
-                return
-            self._dispatch(*item)
-
     def snapshot(self) -> dict:
         with self._stats_lock:
             s = dict(self.stats)
@@ -289,12 +261,11 @@ def _encode_png_saliency(sal: np.ndarray) -> bytes:
 
 def make_server(model, host: str = "127.0.0.1", port: int = 0, *,
                 max_wait_ms: float = 3.0, warmup: bool = True,
-                request_timeout_s: float = 60.0,
-                pipeline: bool = False) -> ThreadingHTTPServer:
+                request_timeout_s: float = 60.0) -> ThreadingHTTPServer:
     """Build (not run) the HTTP server; ``server.batcher`` is attached.
     Call ``serve_forever()`` (blocking) or drive it from a thread in tests;
     ``server.shutdown()`` + ``server.batcher.stop()`` to tear down."""
-    batcher = Batcher(model, max_wait_ms=max_wait_ms, pipeline=pipeline)
+    batcher = Batcher(model, max_wait_ms=max_wait_ms)
     if warmup:
         batcher.warmup()
 

@@ -85,13 +85,10 @@ def f32_server(f32_model):
     srv.batcher.stop()
 
 
-@pytest.mark.parametrize("pipeline", [False, True])
-def test_batcher_coalesces_concurrent_requests(f32_model, pipeline):
+def test_batcher_coalesces_concurrent_requests(f32_model):
     """3 concurrent submits (1+2+1 images) -> ONE batched dispatch whose
-    per-request slices match direct model() calls (plain and one-deep
-    pipelined dispatcher)."""
-    b = Batcher(f32_model, max_wait_ms=50.0, autostart=False,
-                pipeline=pipeline)
+    per-request slices match direct model() calls."""
+    b = Batcher(f32_model, max_wait_ms=50.0, autostart=False)
     rng = np.random.default_rng(0)
     xs = [rng.standard_normal((n, 64, 64, 3)).astype(np.float32)
           for n in (1, 2, 1)]

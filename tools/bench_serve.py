@@ -60,9 +60,6 @@ def main() -> None:
                     help="images per client request")
     ap.add_argument("--secs", type=float, default=15.0)
     ap.add_argument("--max-wait-ms", type=float, default=3.0)
-    ap.add_argument("--pipeline", action="store_true",
-                    help="one-deep pipelined batcher (collector + device "
-                         "threads)")
     ap.add_argument("--json", default="", help="write results here too")
     args = ap.parse_args()
 
@@ -90,8 +87,7 @@ def main() -> None:
                                batch=buckets, hw=(args.hw, args.hw),
                                dtype=dtype, wire=args.wire)
         model = load_artifact(path)
-        srv = make_server(model, port=0, max_wait_ms=args.max_wait_ms,
-                          pipeline=args.pipeline)
+        srv = make_server(model, port=0, max_wait_ms=args.max_wait_ms)
         t = threading.Thread(target=srv.serve_forever, daemon=True)
         t.start()
         url = f"http://{srv.server_address[0]}:{srv.server_address[1]}"
@@ -162,7 +158,6 @@ def main() -> None:
                "mean_dispatch_batch": round(imgs / max(disp, 1), 1),
                "hw": args.hw, "buckets": buckets,
                "wire": args.wire, "dtype": args.dtype,
-               "pipeline": args.pipeline,
                "platform": jax.devices()[0].platform}
         print(json.dumps(row))
         if args.json:
