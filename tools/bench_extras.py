@@ -536,6 +536,36 @@ def bench_e2e_test(entries: list, data_root: str) -> None:
             "metric": f"csnet_l_x2_224_e2e_test_img_per_sec[{mode}_preprocess,bf16,B=128]",
             "value": round(ips, 1), "unit": "images/sec"})
 
+    # ceil-to-16 NATIVE-size protocol (TEST.IMAGE_H/W=0, the reference
+    # test.py:75-98 dialect): per-image reference loop vs --test_batch
+    # same-resized-shape batching (bit-identical PNGs — tests/test_cli.py).
+    # Uniform 320^2 inputs = ONE compiled shape per mode, like the m_r
+    # regime; the delta is amortized dispatch latency.
+    ds_u = "SYNTH-TE-UNI"
+    make_synth_split(os.path.join(data_root, ds_u), 128, hw=(320, 320),
+                     jitter=0, alternate_orientation=False)
+    for tb in (1, 16):
+        cfg = get_cfg()
+        cfg.TASK = f"bench_test_native_tb{tb}"
+        cfg.TEST.MODEL_CONFIG = stem + ".bin"
+        cfg.TEST.CHECKPOINT = stem + ".pth.tar"
+        cfg.TEST.DATASET_PATH = data_root
+        cfg.TEST.DATASETS = [ds_u]
+        cfg.TEST.IMAGE_H = cfg.TEST.IMAGE_W = 0  # native protocol
+        cfg.TEST.BATCH = tb
+        cfg.DATA.WORKERS = 4
+        cfg.TPU.DTYPE = "bfloat16"
+        cfg.DATA.SAVEDIR = tempfile.mkdtemp(prefix="sod_benchtest_")
+        run_test(cfg, log=lambda *a, **k: None)  # compile + warm
+        out = run_test(cfg, log=lambda *a, **k: None)
+        ips = out["datasets"][ds_u]["img_per_sec"]
+        print(f"# e2e cli.test native ceil-16 img/s (test_batch={tb}, "
+              f"bf16, 320^2 uniform): {ips:.1f}", file=sys.stderr)
+        entries.append({
+            "metric": f"csnet_l_x2_native320_e2e_test_img_per_sec"
+                      f"[test_batch={tb},bf16]",
+            "value": round(ips, 1), "unit": "images/sec"})
+
 
 def bench_csf_e2e_test(entries: list, data_root: str) -> None:
     """End-to-end CSF test-mode FPS (the reference's speed protocol,
