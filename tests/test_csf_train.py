@@ -248,6 +248,36 @@ def test_csf_cli_train_and_test(csf_root, tmp_path):
         np.testing.assert_array_equal(outs[1][f], outs[2][f])
 
 
+def test_csf_cli_train_and_test_res2net101(csf_root, tmp_path):
+    """CLI plumbing for the 101 tier (north-star config #5): --arch
+    res2net101 threads through train mode (checkpoint save + final.pth)
+    and test mode (native-size u8 *_sal_fuse.png maps, the right backbone
+    rebuilt from config.arch at load). Math parity is pinned by the
+    live-torch oracles (test_csf.py / test_trajectory.py, parametrized
+    over both backbones); this covers the driver surface at toy size."""
+    from cli.csf import run_csf_test, run_csf_train
+
+    config = types.SimpleNamespace(
+        lr=5e-5, wd=5e-4, pretrained_model="", epoch=1, batch_size=2,
+        load="", save_folder=str(tmp_path / "out101"), epoch_save=1,
+        iter_size=2, show_every=2, train_root=str(csf_root),
+        train_list=str(csf_root / "train.lst"), arch="res2net101",
+        image_size=48,
+    )
+    os.makedirs(config.save_folder)
+    out = run_csf_train(config, log=lambda *a, **k: None)
+    final = os.path.join(out["save_folder"], "models", "final.pth")
+    assert os.path.exists(final)
+
+    config.model = final
+    config.test_root = str(csf_root)
+    config.test_list = str(csf_root / "test.lst")
+    config.test_fold = str(tmp_path / "maps101")
+    res = run_csf_test(config, log=lambda *a, **k: None)
+    assert res["n"] == 4
+    assert len(os.listdir(config.test_fold)) == 4
+
+
 def test_resident_csf_epoch_matches_host_math(csf_root):
     """One resident CSF epoch == a host emulation with the same PRNG draws:
     gather by the same permutation, same per-sample flips, cv2-dialect
