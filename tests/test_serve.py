@@ -85,16 +85,17 @@ def test_export_u8_wire(tmp_path):
         m8(norm)
 
 
-def test_export_csf_family(tmp_path):
+@pytest.mark.parametrize("backbone", ["res2net50", "res2net101"])
+def test_export_csf_family(tmp_path, backbone):
     from sod100k_tpu.arch.csf_res2net import csf_apply, csf_init
 
-    params = csf_init(jax.random.key(1))
-    out = export_artifact(str(tmp_path / "csf"), "csf", params, "res2net50",
+    params = csf_init(jax.random.key(1), backbone=backbone)
+    out = export_artifact(str(tmp_path / "csf"), "csf", params, backbone,
                           batch=1, hw=(64, 64), dtype=jnp.float32)
     model = load_artifact(out)
     x = np.random.default_rng(1).standard_normal((1, 64, 64, 3)).astype(np.float32)
     want = np.asarray(jax.nn.sigmoid(csf_apply(
-        jax.tree.map(jnp.asarray, params), jnp.asarray(x), "res2net50")))
+        jax.tree.map(jnp.asarray, params), jnp.asarray(x), backbone)))
     np.testing.assert_allclose(model(x), want, atol=1e-5)
 
 
