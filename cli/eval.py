@@ -194,19 +194,29 @@ def run_eval(cfg, epoch_range=(0, 1), method: str | None = None,
                 if full and backend == "native":
                     # host fallback: the native tool computes the reference
                     # block only; fill the modern metrics from the
-                    # accumulator path (jax-on-CPU) + scipy wF
-                    extra = evaluate_pairs_device(pairs, with_wfmeasure=True,
-                                                  log=log)
-                    for key in ("adaptive_f", "adaptive_e", "emeasure",
-                                "max_e", "mean_e", "s_measure", "weighted_f"):
-                        res[key] = extra[key]
+                    # accumulator path (jax-on-CPU) + scipy wF. A pair list
+                    # where NOTHING decodes is handled by the native tool
+                    # alone (its divisor semantics) — skip the fill there
+                    # instead of crashing the run on an empty accumulator.
+                    try:
+                        extra = evaluate_pairs_device(
+                            pairs, with_wfmeasure=True, log=log)
+                    except AssertionError:
+                        log("eval: full-suite fallback skipped — no "
+                            "decodable pairs for the modern metrics")
+                        extra = None
+                    if extra is not None:
+                        for key in ("adaptive_f", "adaptive_e", "emeasure",
+                                    "max_e", "mean_e", "s_measure",
+                                    "weighted_f"):
+                            res[key] = extra[key]
                 report = (f"epoch {epoch} {ds}: MaxF {res['max_f']:.6f} "
                           f"MAE {res['mae']:.6f} MeanF {res['mean_f']:.6f}")
                 if "adaptive_f" in res:
                     report += f" AdpF {res['adaptive_f']:.6f}"
                 if "max_e" in res:
                     report += f" MaxE {res['max_e']:.6f}"
-                if full:
+                if full and "mean_e" in res:
                     report += (f" MeanE {res['mean_e']:.6f}"
                                f" AdpE {res['adaptive_e']:.6f}")
                 if "s_measure" in res:

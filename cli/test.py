@@ -256,12 +256,19 @@ def _dump_native_batched(cfg, eval_step, params, names, img_dir, sal_dir,
         img, hw = preprocess_test_image(os.path.join(img_dir, name))
         return name, hw, img
 
-    with ThreadPoolExecutor(max_workers=max(cfg.DATA.WORKERS, 1)) as pool:
-        fut = pool.submit(load, names[0]) if names else None
+    from collections import deque
+
+    workers = max(cfg.DATA.WORKERS, 1)
+    window = max(tb, workers)  # bounded look-ahead: decode the next group
+    # while this group's dispatch/flush runs, without buffering the dataset
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        futs: deque = deque()
+        idx = 0
         for i in range(len(names)):
-            name, hw, img = fut.result()
-            if i + 1 < len(names):
-                fut = pool.submit(load, names[i + 1])
+            while idx < len(names) and len(futs) <= window:
+                futs.append(pool.submit(load, names[idx]))
+                idx += 1
+            name, hw, img = futs.popleft().result()
             if buf and buf[0][2].shape != img.shape:
                 dispatch()  # shape break: flush the current same-shape run
             buf.append((name, hw, img))

@@ -44,6 +44,11 @@ import numpy as np
 
 from .data.pipeline import IMAGENET_MEAN, IMAGENET_STD
 
+# request-body cap: the largest legitimate request (a full f32 bucket,
+# e.g. 128 x 336^2 x 3 f32 ~ 174 MB) fits with headroom; anything bigger
+# gets 413 instead of an unbounded read into memory
+MAX_BODY_BYTES = 1 << 30
+
 
 class DispatchError(RuntimeError):
     """Device/model failure inside a batched dispatch. Server-side by
@@ -300,8 +305,17 @@ def make_server(model, host: str = "127.0.0.1", port: int = 0, *,
                      "application/octet-stream").split(";")[0].strip()
             try:
                 # inside the try: a malformed Content-Length is a client
-                # protocol error (400), not an aborted connection
+                # protocol error (400), not an aborted connection; negative
+                # values would make read(-1) block until EOF on keep-alive
+                # (thread exhaustion) and huge ones buffer unboundedly
                 n = int(self.headers.get("Content-Length", 0))
+                if n < 0:
+                    raise ValueError(f"negative Content-Length {n}")
+                if n > MAX_BODY_BYTES:
+                    self._send_json(413, {
+                        "error": f"body of {n} bytes exceeds the "
+                                 f"{MAX_BODY_BYTES}-byte limit"})
+                    return
                 body = self.rfile.read(n)
                 if ctype == "application/x-npy":
                     arr = np.load(io.BytesIO(body), allow_pickle=False)

@@ -714,3 +714,16 @@ def test_eval_suite_full_reports_everything(tmp_path):
             assert label in got, (backend, rep)
             assert got[label] == pytest.approx(want[key], abs=5e-5), \
                 (backend, label)
+
+    # dirty-data contract under --suite full: a pair list where nothing
+    # decodes must complete (native divisor semantics) with the modern-
+    # metric fill skipped, not crash on an empty accumulator
+    bad_sal = tmp_path / "save" / "m" / "ECSSD_1"
+    bad_sal.mkdir()
+    (bad_sal / "p0.png").write_bytes(b"\x89PNG truncated")
+    assert (tmp_path / "data" / "ECSSD" / "GT" / "p0.png").exists()
+    lines = []
+    run_eval(cfg, epoch_range=(1, 2), backend="native", suite="full",
+             log=lambda msg, display=True: lines.append(str(msg)))
+    assert any("fallback skipped" in ln for ln in lines), lines
+    assert any(ln.startswith("epoch 1") for ln in lines), lines

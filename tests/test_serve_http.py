@@ -215,18 +215,21 @@ def test_http_dispatch_failure_is_500_not_400():
 
 
 def test_http_malformed_content_length_is_400(f32_server):
-    """A non-numeric Content-Length gets a 400 response, not a silently
-    aborted connection."""
+    """Non-numeric or negative Content-Length gets a 400 response (a
+    negative value would make read(-1) block until EOF — thread
+    exhaustion); an absurd size gets 413 before any read."""
     import socket
 
     srv, model, url = f32_server
     host, port = srv.server_address
-    with socket.create_connection((host, port), timeout=30) as s:
-        s.sendall(b"POST /predict HTTP/1.1\r\nHost: t\r\n"
-                  b"Content-Type: application/x-npy\r\n"
-                  b"Content-Length: banana\r\n\r\n")
-        status = s.recv(4096).split(b"\r\n", 1)[0]
-    assert b" 400 " in status, status
+    for header, want in ((b"banana", b" 400 "), (b"-1", b" 400 "),
+                         (b"99999999999", b" 413 ")):
+        with socket.create_connection((host, port), timeout=30) as s:
+            s.sendall(b"POST /predict HTTP/1.1\r\nHost: t\r\n"
+                      b"Content-Type: application/x-npy\r\n"
+                      b"Content-Length: " + header + b"\r\n\r\n")
+            status = s.recv(4096).split(b"\r\n", 1)[0]
+        assert want in status, (header, status)
 
 
 def test_http_npy_roundtrip_and_meta(f32_server):
