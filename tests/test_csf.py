@@ -21,27 +21,32 @@ def test_csf_forward_shape():
     assert y.shape == (1, 64, 64, 1)
 
 
-def test_load_res2net_backbone_from_torch_checkpoint(tmp_path):
+@pytest.mark.parametrize("backbone", ["res2net50", "res2net101"])
+def test_load_res2net_backbone_from_torch_checkpoint(tmp_path, backbone):
     """An ImageNet-style res2net torch checkpoint (no 'base.' prefix, with an
     fc head) must land in params['base'] with fc ignored (strict=False
-    semantics of csf_res2net.py:143-144)."""
+    semantics of csf_res2net.py:143-144) — for both published depths."""
     import torch
 
     from sod100k_tpu.arch.csf_res2net import load_res2net_backbone
 
-    donor = csf_init(jax.random.key(7))
+    donor = csf_init(jax.random.key(7), backbone=backbone)
     sd = {k[len("base."):]: torch.from_numpy(np.array(v))
           for k, v in pytree_to_state_dict({"base": donor["base"]}).items()}
     sd["fc.weight"] = torch.zeros(1000, 2048)
     sd["fc.bias"] = torch.zeros(1000)
-    path = str(tmp_path / "res2net50_v1b.pth")
+    path = str(tmp_path / f"{backbone}_v1b.pth")
     torch.save(sd, path)
 
-    target = csf_init(jax.random.key(8))
+    target = csf_init(jax.random.key(8), backbone=backbone)
     out = load_res2net_backbone(target, path)
     np.testing.assert_array_equal(
         np.asarray(out["base"]["layer1"]["0"]["conv1"]["kernel"]),
         np.asarray(donor["base"]["layer1"]["0"]["conv1"]["kernel"]))
+    if backbone == "res2net101":  # the deep stage3 tail survives the trip
+        np.testing.assert_array_equal(
+            np.asarray(out["base"]["layer3"]["22"]["conv3"]["kernel"]),
+            np.asarray(donor["base"]["layer3"]["22"]["conv3"]["kernel"]))
     assert "fc" not in out["base"]
     # head untouched
     np.testing.assert_array_equal(
