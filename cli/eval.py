@@ -26,14 +26,23 @@ from sod100k_tpu.config import get_cfg
 from sod100k_tpu.metrics.salmetric import SalMetricAccumulator, format_report
 
 
-def _pairs(sal_dir: str, gt_dir: str) -> list[tuple[str, str]]:
+def _pairs(sal_dir: str, gt_dir: str,
+           sal_suffix: str = "") -> list[tuple[str, str]]:
+    """Pair sal PNGs with same-named GTs; ``sal_suffix`` is stripped from
+    the sal stem before matching (e.g. "_sal_fuse" pairs cli.csf test-mode
+    dumps `name_sal_fuse.png` with `name.png`/`name.jpg` GTs)."""
     out = []
     for name in sorted(os.listdir(sal_dir)):
         if not name.endswith(".png"):
             continue
-        gt = os.path.join(gt_dir, name)
-        if os.path.exists(gt):
-            out.append((os.path.join(sal_dir, name), gt))
+        stem = name[:-4]
+        if sal_suffix and stem.endswith(sal_suffix):
+            stem = stem[:-len(sal_suffix)]
+        for ext in (".png", ".jpg", ".bmp"):
+            gt = os.path.join(gt_dir, stem + ext)
+            if os.path.exists(gt):
+                out.append((os.path.join(sal_dir, name), gt))
+                break
     return out
 
 
@@ -146,6 +155,64 @@ def evaluate_pairs_native(pairs, num_threads: int = 8) -> dict:
     return res
 
 
+def _fill_full_native(res: dict, pairs, log) -> None:
+    """Host fallback for --suite full on the native backend: the C++ tool
+    computes the reference block only; fill the modern metrics from the
+    accumulator path (jax-on-CPU) + scipy wF. A pair list where NOTHING
+    decodes is handled by the native tool alone (its divisor semantics) —
+    skip the fill there instead of crashing on an empty accumulator."""
+    try:
+        extra = evaluate_pairs_device(pairs, with_wfmeasure=True, log=log)
+    except AssertionError:
+        log("eval: full-suite fallback skipped — no decodable pairs for "
+            "the modern metrics")
+        return
+    for key in ("adaptive_f", "adaptive_e", "emeasure", "max_e", "mean_e",
+                "s_measure", "weighted_f"):
+        res[key] = extra[key]
+
+
+def _report_line(prefix: str, res: dict, full: bool) -> str:
+    report = (f"{prefix}: MaxF {res['max_f']:.6f} "
+              f"MAE {res['mae']:.6f} MeanF {res['mean_f']:.6f}")
+    if "adaptive_f" in res:
+        report += f" AdpF {res['adaptive_f']:.6f}"
+    if "max_e" in res:
+        report += f" MaxE {res['max_e']:.6f}"
+    if full and "mean_e" in res:
+        report += (f" MeanE {res['mean_e']:.6f}"
+                   f" AdpE {res['adaptive_e']:.6f}")
+    if "s_measure" in res:
+        report += f" S {res['s_measure']:.6f}"
+    if "weighted_f" in res:
+        report += f" wF {res['weighted_f']:.6f}"
+    return report
+
+
+def run_eval_dirs(sal_dir: str, gt_dir: str, *, backend: str = "device",
+                  suite: str = "reference", wfmeasure: bool = False,
+                  sal_suffix: str = "", log=print) -> dict:
+    """Layout-free evaluation: score ANY saliency-dump directory against
+    ANY GT directory (cli.eval --dirs). This is how cli.csf test-mode
+    `*_sal_fuse.png` dumps get scored — the reference leaves that to
+    external tools (PySODMetrics / the SalMetric CLI); here it is one
+    command, with --sal-suffix pairing the suffixed names and --suite full
+    available as everywhere else."""
+    full = suite == "full"
+    pairs = _pairs(sal_dir, gt_dir, sal_suffix=sal_suffix)
+    if not pairs:
+        raise SystemExit(f"no sal/GT pairs between {sal_dir} and {gt_dir} "
+                         f"(sal_suffix={sal_suffix!r})")
+    res = (evaluate_pairs_native(pairs) if backend == "native"
+           else evaluate_pairs_device(pairs, with_wfmeasure=wfmeasure or full,
+                                      log=log))
+    if full and backend == "native":
+        _fill_full_native(res, pairs, log)
+    log(_report_line(f"{os.path.basename(os.path.normpath(sal_dir))} "
+                     f"({len(pairs)} pairs)", res, full))
+    return res
+
+
 def run_eval(cfg, epoch_range=(0, 1), method: str | None = None,
              backend: str | None = None, datasets=None,
              wfmeasure: bool = False, suite: str = "reference",
@@ -192,37 +259,8 @@ def run_eval(cfg, epoch_range=(0, 1), method: str | None = None,
                        else evaluate_pairs_device(
                            pairs, with_wfmeasure=wfmeasure or full, log=log))
                 if full and backend == "native":
-                    # host fallback: the native tool computes the reference
-                    # block only; fill the modern metrics from the
-                    # accumulator path (jax-on-CPU) + scipy wF. A pair list
-                    # where NOTHING decodes is handled by the native tool
-                    # alone (its divisor semantics) — skip the fill there
-                    # instead of crashing the run on an empty accumulator.
-                    try:
-                        extra = evaluate_pairs_device(
-                            pairs, with_wfmeasure=True, log=log)
-                    except AssertionError:
-                        log("eval: full-suite fallback skipped — no "
-                            "decodable pairs for the modern metrics")
-                        extra = None
-                    if extra is not None:
-                        for key in ("adaptive_f", "adaptive_e", "emeasure",
-                                    "max_e", "mean_e", "s_measure",
-                                    "weighted_f"):
-                            res[key] = extra[key]
-                report = (f"epoch {epoch} {ds}: MaxF {res['max_f']:.6f} "
-                          f"MAE {res['mae']:.6f} MeanF {res['mean_f']:.6f}")
-                if "adaptive_f" in res:
-                    report += f" AdpF {res['adaptive_f']:.6f}"
-                if "max_e" in res:
-                    report += f" MaxE {res['max_e']:.6f}"
-                if full and "mean_e" in res:
-                    report += (f" MeanE {res['mean_e']:.6f}"
-                               f" AdpE {res['adaptive_e']:.6f}")
-                if "s_measure" in res:
-                    report += f" S {res['s_measure']:.6f}"
-                if "weighted_f" in res:
-                    report += f" wF {res['weighted_f']:.6f}"
+                    _fill_full_native(res, pairs, log)
+                report = _report_line(f"epoch {epoch} {ds}", res, full)
                 log(report)
                 flog.write(report + "\n")
                 with open(os.path.join(out_dir,
@@ -241,7 +279,16 @@ def run_eval(cfg, epoch_range=(0, 1), method: str | None = None,
 
 def main() -> None:
     parser = argparse.ArgumentParser(description="TPU SOD evaluation")
-    parser.add_argument("--config", required=True, metavar="FILE")
+    parser.add_argument("--config", default=None, metavar="FILE")
+    parser.add_argument("--dirs", nargs=2, default=None,
+                        metavar=("SAL_DIR", "GT_DIR"),
+                        help="layout-free mode: score SAL_DIR's PNGs "
+                        "against GT_DIR directly (no config needed) — "
+                        "e.g. a cli.csf test_fold with "
+                        "--sal-suffix _sal_fuse")
+    parser.add_argument("--sal-suffix", default="",
+                        help="suffix stripped from sal names before GT "
+                        "matching (cli.csf dumps use _sal_fuse)")
     parser.add_argument("--method", default=None)
     parser.add_argument("--range", default="0,1",
                         help="epoch range begin,end (python range semantics)")
@@ -257,6 +304,13 @@ def main() -> None:
                         "S-measure, weighted F) on either backend; "
                         "'reference' keeps the per-backend default surface")
     args = parser.parse_args()
+    if args.dirs:
+        run_eval_dirs(args.dirs[0], args.dirs[1],
+                      backend=args.backend or "device", suite=args.suite,
+                      wfmeasure=args.wfmeasure, sal_suffix=args.sal_suffix)
+        return
+    if not args.config:
+        parser.error("--config is required (or use --dirs SAL GT)")
     cfg = get_cfg()
     cfg.merge_from_file(args.config)
     if not cfg.TASK:

@@ -668,6 +668,47 @@ def test_adaptive_e_matches_brute_force():
     assert acc.result()["adaptive_e"] == pytest.approx(np.mean(want), abs=1e-5)
 
 
+def test_eval_dirs_mode_scores_csf_dumps(tmp_path):
+    """cli.eval --dirs SAL GT --sal-suffix _sal_fuse: layout-free scoring
+    of cli.csf test-mode dumps (suffixed names, mixed GT extensions) with
+    the full suite — values equal to the hand-paired device path."""
+    cv2 = pytest.importorskip("cv2")
+    from cli.eval import evaluate_pairs_device, run_eval_dirs
+
+    sal_dir = tmp_path / "fold"
+    gt_dir = tmp_path / "gt"
+    sal_dir.mkdir()
+    gt_dir.mkdir()
+    rng = np.random.default_rng(9)
+    pairs = []
+    for i, ext in enumerate((".png", ".jpg", ".png")):
+        h, w = 36 + 4 * i, 40
+        gt = np.zeros((h, w), np.uint8)
+        gt[8:h - 8, 8:w - 8] = 255
+        sal = np.clip(gt.astype(np.int32)
+                      + rng.integers(-90, 90, (h, w)), 0, 255).astype(np.uint8)
+        cv2.imwrite(str(sal_dir / f"im{i}_sal_fuse.png"), sal)
+        cv2.imwrite(str(gt_dir / f"im{i}{ext}"), gt)
+        pairs.append((str(sal_dir / f"im{i}_sal_fuse.png"),
+                      str(gt_dir / f"im{i}{ext}")))
+    # a stray unpaired sal file must be ignored, not crash the pairing
+    cv2.imwrite(str(sal_dir / "orphan_sal_fuse.png"),
+                np.zeros((8, 8), np.uint8))
+
+    want = evaluate_pairs_device(pairs, with_wfmeasure=True,
+                                 log=lambda *a: None)
+    got = run_eval_dirs(str(sal_dir), str(gt_dir), suite="full",
+                        sal_suffix="_sal_fuse", log=lambda *a, **k: None)
+    for key in ("mae", "max_f", "mean_f", "adaptive_f", "adaptive_e",
+                "max_e", "mean_e", "s_measure", "weighted_f"):
+        assert got[key] == pytest.approx(want[key], abs=1e-9), key
+
+    # native backend agrees on the reference block
+    got_n = run_eval_dirs(str(sal_dir), str(gt_dir), backend="native",
+                          sal_suffix="_sal_fuse", log=lambda *a, **k: None)
+    assert got_n["max_f"] == pytest.approx(want["max_f"], abs=5e-5)
+
+
 def test_eval_suite_full_reports_everything(tmp_path):
     """cli.eval --suite full: ONE invocation reports the whole modern suite
     — MAE, max/mean/adaptive F, max/mean/adaptive E, S, wF — on BOTH
