@@ -172,7 +172,11 @@ def test_compiled_extension_matches_ctypes(tmp_path):
         sal_paths.append(sp)
         gt_paths.append(gp)
 
-    via_ext = ext.do_evaluation(2, sal_paths, gt_paths, print_stdout=False)
+    # ONE worker thread in both paths: the pool's work-stealing makes the
+    # per-image accumulation ORDER nondeterministic at >1 thread, so two
+    # runs differ by double-ULPs (measured 5.5e-17 on 28% of thresholds) —
+    # single-thread keeps the bit-exact comparison meaningful
+    via_ext = ext.do_evaluation(1, sal_paths, gt_paths, print_stdout=False)
     lib = native._load()  # force the ctypes path for comparison
     import ctypes
 
@@ -180,17 +184,18 @@ def test_compiled_extension_matches_ctypes(tmp_path):
     sal_arr = (ctypes.c_char_p * n)(*[s.encode() for s in sal_paths])
     gt_arr = (ctypes.c_char_p * n)(*[s.encode() for s in gt_paths])
     out = (ctypes.c_double * (7 + 512))()
-    rc = lib.salmetric_evaluate(sal_arr, gt_arr, n, 2, 0, out)
+    rc = lib.salmetric_evaluate(sal_arr, gt_arr, n, 1, 0, out)
     assert rc == via_ext["images"] == 4
     assert via_ext["mae"] == out[0]
     assert via_ext["max_f"] == out[1]
     np.testing.assert_array_equal(via_ext["precision"], list(out[7:7 + 256]))
 
-    # the stateful class surface of the reference binding
+    # the stateful class surface of the reference binding; the threaded
+    # path is compared at tolerance (reduction-order ULPs)
     m = ext.PySalMetric(num_thread=2)
     m.load_list(sal_paths, gt_paths)
     got = m.do_evaluation()
-    assert got["mae"] == via_ext["mae"]
+    assert got["mae"] == pytest.approx(via_ext["mae"], abs=1e-12)
     m.set_num_thread(1)
     assert m.do_evaluation()["max_f"] == via_ext["max_f"]
 
