@@ -383,6 +383,7 @@ def run_testall_resident(cfg, log=print) -> dict:
                       f"MeanF {res['mean_f']:.6f} "
                       f"AdpF {res['adaptive_f']:.6f} "
                       f"MaxE {res['max_e']:.6f} "
+                      f"MeanE {res['mean_e']:.6f} "
                       f"AdpE {res['adaptive_e']:.6f} "
                       f"S {res['s_measure']:.6f}")
             if "weighted_f" in res:
