@@ -199,6 +199,12 @@ def run_eval_dirs(sal_dir: str, gt_dir: str, *, backend: str = "device",
     command, with --sal-suffix pairing the suffixed names and --suite full
     available as everywhere else."""
     full = suite == "full"
+    if wfmeasure and backend == "native" and not full:
+        # never silently drop an explicitly requested metric: the C++ tool
+        # computes the reference block only
+        raise SystemExit("--wfmeasure is not computed by the native "
+                         "backend; use --backend device or --suite full "
+                         "(host fallback)")
     pairs = _pairs(sal_dir, gt_dir, sal_suffix=sal_suffix)
     if not pairs:
         raise SystemExit(f"no sal/GT pairs between {sal_dir} and {gt_dir} "

@@ -127,7 +127,7 @@ def dump_saliency_maps(cfg, lc, params, epoch, log=print,
         if native_tb > 1:
             n_done = _dump_native_batched(
                 cfg, eval_step, params, names, img_dir, sal_dir,
-                tb=native_tb, dtype=dtype)
+                tb=native_tb, dtype=dtype, log=log)
             dt = time.time() - t0
             log(f"Dataset: {dataset}, {n_done} images, "
                 f"{n_done / dt:.2f} img/s (native batched x{native_tb})")
@@ -213,7 +213,7 @@ def dump_saliency_maps(cfg, lc, params, epoch, log=print,
 
 
 def _dump_native_batched(cfg, eval_step, params, names, img_dir, sal_dir,
-                         *, tb: int, dtype) -> int:
+                         *, tb: int, dtype, log=print) -> int:
     """Ceil-to-16 native-size protocol, batched (cli.test --test_batch —
     the CSNet counterpart of cli.csf --test_batch, cli/csf.py run_test).
 
@@ -231,6 +231,9 @@ def _dump_native_batched(cfg, eval_step, params, names, img_dir, sal_dir,
 
     pending = None  # one-deep pipeline, same as the fixed-size loop
     buf: list = []  # [(name, (h, w), img_1hw3_f32)]
+    padded_rows = 0  # batching only wins on same-shape runs; count the
+    # pad waste so ragged datasets (short runs -> near-full padding) get a
+    # visible warning instead of silently computing up to tb-fold extra
 
     def flush(p):
         group, dev_preds, k = p
@@ -242,8 +245,9 @@ def _dump_native_batched(cfg, eval_step, params, names, img_dir, sal_dir,
                 sal_dir, os.path.splitext(name)[0] + ".png"), out)
 
     def dispatch():
-        nonlocal pending
+        nonlocal pending, padded_rows
         k = len(buf)
+        padded_rows += tb - k
         stack = [b[2] for b in buf] + [buf[-1][2]] * (tb - k)
         x = jnp.asarray(np.concatenate(stack), dtype)
         preds = eval_step(params, x).astype(jnp.float32)
@@ -278,6 +282,11 @@ def _dump_native_batched(cfg, eval_step, params, names, img_dir, sal_dir,
             dispatch()
         if pending is not None:
             flush(pending)
+    total_rows = len(names) + padded_rows
+    if total_rows and padded_rows / total_rows > 0.25:
+        log(f"test_batch={tb}: {padded_rows}/{total_rows} dispatched rows "
+            f"were padding (ragged shapes break same-shape runs) — a "
+            f"smaller --test_batch will likely be faster on this dataset")
     return len(names)
 
 

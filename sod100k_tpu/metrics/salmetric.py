@@ -118,14 +118,18 @@ def _e_measure_from_counts(tp, a, b, n):
                      jnp.where(b == n, e_full_gt, e_general))
 
 
-@jax.jit
-def adaptive_f_per_image(sal: jax.Array, gt: jax.Array, mask: jax.Array):
-    """Per-image adaptive F-measure (the third standard F protocol in SOD
-    evaluation, alongside max-F and mean-F; the convention of Achanta et
-    al. CVPR'09 as implemented in the public PySODMetrics suite): binarize
-    each prediction at min(2 * its own mean, 255), then F with beta^2 = 0.3
-    from that single binarization. Zero intersection (including empty GT)
-    scores 0. sal/gt: (B, H, W) in [0, 255]; mask marks valid pixels."""
+def _adaptive_binarize(sal: jax.Array, gt: jax.Array, mask: jax.Array):
+    """Shared preamble of the adaptive protocols: binarize each prediction
+    at min(2 * its own masked mean, 255) (>= convention), GT at > 128.
+
+    DIALECT NOTE: the threshold is taken on the RAW [0, 255] map — the
+    dialect of this whole suite and of the reference SalMetric tool. The
+    public PySODMetrics suite min-max-normalizes predictions first
+    (`_prepare_data`), which changes EVERY metric (not just the adaptive
+    ones) on maps that don't span the full range; since our maps are
+    trunc(sigmoid*255) u8 dumps scored against the reference contract, we
+    keep the raw dialect consistently rather than mixing conventions.
+    Returns (binary, pos, npix) with npix clamped to >= 1."""
     sal = sal.astype(jnp.float32)
     mask = mask.astype(jnp.float32)
     npix = jnp.maximum(jnp.sum(mask, axis=(1, 2)), 1.0)
@@ -133,6 +137,20 @@ def adaptive_f_per_image(sal: jax.Array, gt: jax.Array, mask: jax.Array):
     th = jnp.minimum(2.0 * mean, 255.0)
     binary = (sal >= th[:, None, None]).astype(jnp.float32) * mask
     pos = (gt.astype(jnp.float32) > THRESHOLDS / 2).astype(jnp.float32) * mask
+    return binary, pos, npix
+
+
+@jax.jit
+def adaptive_f_per_image(sal: jax.Array, gt: jax.Array, mask: jax.Array):
+    """Per-image adaptive F-measure (the third standard F protocol in SOD
+    evaluation, alongside max-F and mean-F; the convention of Achanta et
+    al. CVPR'09 as the public PySODMetrics suite defines the metric — see
+    _adaptive_binarize for the deliberate raw-[0,255] dialect): binarize
+    each prediction at min(2 * its own mean, 255), then F with
+    beta^2 = 0.3 from that single binarization. Zero intersection
+    (including empty GT) scores 0. sal/gt: (B, H, W) in [0, 255]; mask
+    marks valid pixels."""
+    binary, pos, _ = _adaptive_binarize(sal, gt, mask)
     inter = jnp.sum(binary * pos, axis=(1, 2))
     eps = 1e-12
     pre = inter / jnp.maximum(jnp.sum(binary, axis=(1, 2)), eps)
@@ -145,24 +163,23 @@ def adaptive_f_per_image(sal: jax.Array, gt: jax.Array, mask: jax.Array):
 def adaptive_e_per_image(sal: jax.Array, gt: jax.Array, mask: jax.Array):
     """Per-image adaptive E-measure (the 'adp' protocol of the public
     PySODMetrics suite, completing the max/mean/adaptive triple for E like
-    adaptive_f_per_image does for F): binarize each prediction at
+    adaptive_f_per_image does for F; see _adaptive_binarize for the
+    deliberate raw-[0,255] dialect): binarize each prediction at
     min(2 * its own mean, 255) — the same adaptive threshold and >=
     convention as adaptive-F — then score that single binary map with the
     E-measure confusion-count closed form, including the official
-    degenerate-GT special cases (_e_measure_from_counts).
+    degenerate-GT special cases (_e_measure_from_counts). An all-masked
+    (padding) row scores 0 like adaptive-F — never the closed form's
+    1/eps sentinel — so no consumer depends on exact-zero weights.
 
     sal/gt: (B, H, W) in [0, 255]; mask marks valid pixels (padding = 0)."""
-    sal = sal.astype(jnp.float32)
-    mask = mask.astype(jnp.float32)
-    npix = jnp.maximum(jnp.sum(mask, axis=(1, 2)), 1.0)
-    mean = jnp.sum(sal * mask, axis=(1, 2)) / npix
-    th = jnp.minimum(2.0 * mean, 255.0)
-    binary = (sal >= th[:, None, None]).astype(jnp.float32) * mask
-    pos = (gt.astype(jnp.float32) > THRESHOLDS / 2).astype(jnp.float32) * mask
+    binary, pos, npix = _adaptive_binarize(sal, gt, mask)
     tp = jnp.sum(binary * pos, axis=(1, 2))
     a = jnp.sum(binary, axis=(1, 2))
     b = jnp.sum(pos, axis=(1, 2))
-    return _e_measure_from_counts(tp, a, b, npix)
+    e = _e_measure_from_counts(tp, a, b, npix)
+    valid = jnp.sum(mask.astype(jnp.float32), axis=(1, 2)) > 0
+    return jnp.where(valid, e, 0.0)
 
 
 class SalMetricAccumulator:
@@ -183,13 +200,14 @@ class SalMetricAccumulator:
         valid images (trailing padded images ignored)."""
         if mask is None:
             mask = np.ones(sal.shape, np.float32)
-        mae, pre, rec, em = _per_image_stats(
-            jnp.asarray(sal), jnp.asarray(gt), jnp.asarray(mask)
-        )
-        af = adaptive_f_per_image(
-            jnp.asarray(sal), jnp.asarray(gt), jnp.asarray(mask))
-        ae = adaptive_e_per_image(
-            jnp.asarray(sal), jnp.asarray(gt), jnp.asarray(mask))
+        # ship operands ONCE: the three jitted calls share the same device
+        # arrays (a fresh jnp.asarray per call would re-upload each batch
+        # three times — ~61 MB/chunk over the 35 ms-RPC tunnel)
+        sal_d, gt_d, mask_d = (jnp.asarray(sal), jnp.asarray(gt),
+                               jnp.asarray(mask))
+        mae, pre, rec, em = _per_image_stats(sal_d, gt_d, mask_d)
+        af = adaptive_f_per_image(sal_d, gt_d, mask_d)
+        ae = adaptive_e_per_image(sal_d, gt_d, mask_d)
         k = sal.shape[0] if count is None else count
         self.n += k
         self.mae += float(jnp.sum(mae[:k]))

@@ -672,6 +672,14 @@ def test_adaptive_e_matches_brute_force():
     acc.update_batch(sal_p, gt_p, mask=m)
     assert acc.result()["adaptive_e"] == pytest.approx(np.mean(want), abs=1e-5)
 
+    # an all-masked (padding) row scores exactly 0, like adaptive-F — not
+    # the degenerate-GT closed form's 1/eps sentinel
+    zero_mask = np.zeros((1, 8, 8), np.float32)
+    got_0 = np.asarray(adaptive_e_per_image(
+        np.full((1, 8, 8), 100.0, np.float32),
+        np.zeros((1, 8, 8), np.float32), zero_mask))
+    assert got_0[0] == 0.0
+
 
 def test_eval_dirs_mode_scores_csf_dumps(tmp_path):
     """cli.eval --dirs SAL GT --sal-suffix _sal_fuse: layout-free scoring
