@@ -218,6 +218,16 @@ def test_cli_test_native_batched_bit_identical(cfg, trained):
         b = cv2.imread(os.path.join(d2, n), cv2.IMREAD_GRAYSCALE)
         np.testing.assert_array_equal(a, b, err_msg=n)
 
+    # ragged shapes with a large test_batch: most same-shape runs are
+    # short, so most dispatched rows are padding — the driver must SAY so
+    # instead of silently computing up to tb-fold extra
+    c3 = c.clone()
+    c3.TASK = "synth_native8"
+    c3.TEST.BATCH = 8
+    logs = []
+    run_test(c3, log=lambda m, **k: logs.append(str(m)))
+    assert any("were padding" in ln for ln in logs), logs
+
 
 def test_cli_orbax_save_and_resume(cfg, trained):
     """TPU.ORBAX writes native checkpoints next to the .pth.tar files and

@@ -721,6 +721,16 @@ def test_eval_dirs_mode_scores_csf_dumps(tmp_path):
                           sal_suffix="_sal_fuse", log=lambda *a, **k: None)
     assert got_n["max_f"] == pytest.approx(want["max_f"], abs=5e-5)
 
+    # explicit refusals instead of silent drops / empty results
+    with pytest.raises(SystemExit, match="wfmeasure"):
+        run_eval_dirs(str(sal_dir), str(gt_dir), backend="native",
+                      wfmeasure=True, sal_suffix="_sal_fuse",
+                      log=lambda *a, **k: None)
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(SystemExit, match="no sal/GT pairs"):
+        run_eval_dirs(str(empty), str(gt_dir), log=lambda *a, **k: None)
+
 
 def test_eval_suite_full_reports_everything(tmp_path):
     """cli.eval --suite full: ONE invocation reports the whole modern suite
